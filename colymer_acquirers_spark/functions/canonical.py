@@ -1,0 +1,113 @@
+"""URL canonicalization — the frozen rule everything keys on.
+
+Reference analog: per-platform URL construction/parsing scattered across 7
+sites (``colymer/acquirers/weibo.py:32-35,96``, ``instagram.py:16,30``,
+``twitter.py:17,38``, ``colymer/sites/colymer.py:11-12``). The engine
+generalizes those into one canonical form; the murmur3 of this string is the
+sharding key for the seen-set (north_rule: "salted-hash sharded by
+canonicalized-URL murmur3").
+
+FROZEN CANONICALIZATION SPEC (shared byte-for-byte with the pyref oracle —
+both sides call the same `*_series` pandas implementations):
+
+1. Only absolute ``http``/``https`` URLs are canonical; anything else → null
+   (dropped from the frontier).
+2. Scheme and host lowercased; userinfo stripped; default ports (http:80,
+   https:443) removed; other ports kept.
+3. Fragment dropped.
+4. Empty path → ``/``; percent-encoding and case of path preserved.
+5. Query: split on ``&``, empty params dropped, params sorted
+   lexicographically, rejoined; empty query → no ``?``.
+
+All implementations are pandas-vectorized (Arrow batches; the only
+per-element Python is the query-param sort, applied to the minority of URLs
+that carry a query string).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# scheme :// [userinfo@] host [:port] path [?query] [#fragment]
+_URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#:@]*)(?::(\d+))?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+
+_DEFAULT_PORT = {"http": "80", "https": "443"}
+
+
+def _sort_query(q: str) -> str:
+    parts = [p for p in q.split("&") if p]
+    parts.sort()
+    return "&".join(parts)
+
+
+def canonicalize_url_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of a Series of URL strings → Series."""
+    s = urls.astype("object").fillna("")
+    m = s.str.extract(_URL_RE)
+    scheme = m[0].str.lower()
+    host = m[2].str.lower()
+    port = m[3]
+    path = m[4]
+    query = m[5]
+
+    valid = scheme.isin(["http", "https"]) & host.notna() & (host != "")
+
+    default_port = scheme.map(_DEFAULT_PORT)
+    port = port.where(port.notna() & (port != default_port), None)
+    hostport = host.where(port.isna(), host + ":" + port.fillna(""))
+
+    path = path.fillna("")
+    path = path.where(path != "", "/")
+
+    has_q = query.notna() & (query != "")
+    sorted_q = query[has_q].map(_sort_query)
+    qpart = pd.Series("", index=s.index, dtype="object")
+    if has_q.any():
+        nonempty = sorted_q != ""
+        qpart.loc[sorted_q.index[nonempty]] = "?" + sorted_q[nonempty]
+
+    out = scheme + "://" + hostport + path + qpart
+    return out.where(valid, None)
+
+
+def host_of_series(canonical_urls: pd.Series) -> pd.Series:
+    """host[:port] component of an already-canonical URL."""
+    s = canonical_urls.astype("object")
+    return s.str.extract(r"^[a-z]+://([^/]*)")[0]
+
+
+@pandas_udf(T.StringType())
+def _canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_url_series(urls)
+
+
+@pandas_udf(T.StringType())
+def _host_of_udf(urls: pd.Series) -> pd.Series:
+    return host_of_series(urls)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Spark column: canonical form of a URL column (null if not canonical)."""
+    return _canonicalize_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def host_of(col: Column | str) -> Column:
+    """Spark column: host[:port] of a canonical URL column."""
+    return _host_of_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def shard_of(col: Column | str, n_shards: int) -> Column:
+    """Murmur3 shard id of a canonical URL (north_rule salted-hash sharding).
+
+    ``F.hash`` is Murmur3-x86-32 seeded 42 — sharding on the *full* canonical
+    URL (not the host) spreads hot hosts uniformly across shards.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.hash(c), F.lit(n_shards)).cast("int")

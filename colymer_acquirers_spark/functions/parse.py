@@ -1,0 +1,168 @@
+"""Frozen HTML text/link extraction — Arrow-vectorized pandas UDFs.
+
+Reference analogs:
+- text extraction: the ``content`` field choice (``colymer/acquirers/
+  weibo.py:171-175,267``, ``twitter.py:92``, ``instagram.py:83``) — the
+  byte-identical invariant target per BASELINE.json input_hint.
+- link extraction: the media-URL / referenced-post extraction in every
+  ``append_*`` helper plus the recursive quote/retweet expansion
+  (``twitter.py:105-114``, ``weibo.py:320-334``) — generalized here to
+  ``<a href>`` extraction feeding frontier expansion (SURVEY.md §2.9 X6-X8).
+
+FROZEN TEXT RULE (pyref calls the same series function — byte-identical by
+construction):
+ 1. drop <script>...</script> and <style>...</style> blocks (dotall, ci)
+ 2. drop <!-- comments -->
+ 3. every remaining tag → one space
+ 4. decode entities: &lt; &gt; &quot; &#39; &nbsp;(→space), &amp; last
+ 5. collapse all whitespace runs to single spaces; strip ends
+
+FROZEN LINK RULE:
+ - hrefs from ``<a ... href="...">`` / ``<a ... href='...'`` (ci)
+ - skip empty, ``#...``, ``javascript:``, ``mailto:``, ``data:``
+ - absolutize: scheme-relative ``//h/p`` → base scheme; root-relative
+   ``/p`` → base origin; other relative → resolved against base directory
+   with ``.``/``..`` segment normalization
+ - returned in document order, duplicates preserved (canonicalization and
+   dedup happen downstream)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_SCRIPT_RE = r"(?is)<script\b.*?</script\s*>"
+_STYLE_RE = r"(?is)<style\b.*?</style\s*>"
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"\s+"
+
+_HREF_RE = re.compile(r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)')""")
+_BASE_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)")
+
+
+def _decode_series(s: pd.Series) -> pd.Series:
+    s = s.str.replace("&lt;", "<", regex=False)
+    s = s.str.replace("&gt;", ">", regex=False)
+    s = s.str.replace("&quot;", '"', regex=False)
+    s = s.str.replace("&#39;", "'", regex=False)
+    s = s.str.replace("&nbsp;", " ", regex=False)
+    s = s.str.replace("&amp;", "&", regex=False)
+    return s
+
+
+def _to_str_series(html: pd.Series) -> pd.Series:
+    """Accept str or utf-8 bytes values."""
+    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+        return html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    return html.map(
+        lambda v: v.decode("utf-8", "replace") if isinstance(v, (bytes, bytearray)) else v
+    )
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized frozen text extraction over a Series of html (str|bytes)."""
+    s = _to_str_series(html).astype("object")
+    na = s.isna()
+    s = s.fillna("")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = _decode_series(s)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.where(~na, None)
+
+
+def _normalize_path(path: str) -> str:
+    segs: list[str] = []
+    for seg in path.split("/"):
+        if seg == "." or seg == "":
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    return "/" + "/".join(segs)
+
+
+def _join_url(base_scheme: str, base_host: str, base_dir: str, href: str) -> str | None:
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    low = h[:11].lower()
+    if low.startswith(("javascript:", "mailto:", "data:")):
+        return None
+    if h.lower().startswith(("http://", "https://")):
+        return h
+    if "://" in h.split("/", 1)[0].split("?", 1)[0]:
+        return None  # other schemes
+    if h.startswith("//"):
+        return f"{base_scheme}:{h}"
+    if h.startswith("/"):
+        return f"{base_scheme}://{base_host}{h}"
+    # relative: resolve against base directory, normalize . / ..
+    frag_split = h.split("#", 1)[0]
+    if not frag_split:
+        return None
+    path, sep, query = frag_split.partition("?")
+    joined = _normalize_path(base_dir + path)
+    return f"{base_scheme}://{base_host}{joined}{sep}{query}"
+
+
+def extract_links_one(html: str | bytes | None, base_url: str | None) -> list[str]:
+    """Scalar frozen link extraction (shared with pyref)."""
+    if html is None or base_url is None:
+        return []
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", "replace")
+    m = _BASE_RE.match(base_url.strip())
+    if not m:
+        return []
+    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3) or "/"
+    base_dir = path[: path.rfind("/") + 1] or "/"
+    out: list[str] = []
+    for g1, g2 in _HREF_RE.findall(html):
+        href = g1 if g1 else g2
+        j = _join_url(scheme, host, base_dir, href)
+        if j is not None:
+            out.append(j)
+    return out
+
+
+def extract_links_series(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    """Arrow-batched link extraction: Series[html], Series[url] → Series[list[str]]."""
+    return pd.Series(
+        [extract_links_one(h, u) for h, u in zip(html, base_url)],
+        index=html.index,
+        dtype="object",
+    )
+
+
+@pandas_udf(T.StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    return extract_links_series(html, base_url)
+
+
+def extract_text(col: Column | str) -> Column:
+    """Spark column: frozen text extraction from html (binary or string)."""
+    return _extract_text_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def extract_links(html: Column | str, base_url: Column | str) -> Column:
+    """Spark column: array<string> of absolutized hrefs in document order."""
+    h = F.col(html) if isinstance(html, str) else html
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    return _extract_links_udf(h, b)

@@ -1,0 +1,77 @@
+"""Politeness budgets + robots gate (SURVEY.md §2.5 W1, §2.2 P14).
+
+Reference analogs:
+- per-site min-interval throttle serialized in ``Site.request_wrapper``
+  (``colymer/sites/site.py:30-41``; budgets ``scan.py:98,101,107``) →
+  per-host per-round fetch budget via a host-partitioned ranking window.
+- login/availability gate (``scan.py:112-116``) → robots deny-prefix filter.
+
+The window partitions by host, so ranking is parallel across hosts; hot-host
+skew inside a single window partition is bounded because the budget cut
+discards all but `budget` rows immediately after ranking (rank ≤ b), and the
+carryover branch reuses the same shuffle output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PATH_RE = r"^[a-z]+://[^/]*(/.*)$"
+SORT_KEYS = ["priority", "depth", "canonical_url"]
+
+
+def with_path(df: DataFrame, url_col: str = "canonical_url") -> DataFrame:
+    return df.withColumn("path", F.regexp_extract(F.col(url_col), PATH_RE, 1))
+
+
+def robots_filter(
+    candidates: DataFrame, robots: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (allowed, blocked) by deny-prefix rules.
+
+    robots is per-host, tiny → broadcast join on host with a startswith
+    predicate (the analog of robots.txt longest-prefix would add rank; the
+    fixture grammar is deny-only so any-match suffices).
+    """
+    cand = with_path(candidates)
+    if robots is None:
+        return cand.drop("path"), cand.limit(0).drop("path")
+    deny = robots.filter(~F.col("allow")).select(
+        F.col("host").alias("__r_host"), F.col("path_prefix").alias("__r_prefix")
+    )
+    cond = (F.col("host") == F.col("__r_host")) & F.col("path").startswith(
+        F.col("__r_prefix")
+    )
+    allowed = cand.join(F.broadcast(deny), on=cond, how="left_anti").drop("path")
+    blocked = cand.join(F.broadcast(deny), on=cond, how="left_semi").drop("path")
+    return allowed, blocked
+
+
+def politeness_split(
+    allowed: DataFrame,
+    politeness: DataFrame | None,
+    default_budget: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Split allowed candidates into (fetched, carryover) per FROZEN SPEC
+    step 3: per host, the first budget(host) rows in sort_key order fetch
+    this round; the rest carry over unchanged (reference: deferred pages stay
+    behind the open block's bottom_cursor, acquirer.py:60-74)."""
+    if politeness is not None:
+        j = allowed.join(
+            F.broadcast(politeness.select("host", "max_fetch_per_round")),
+            on="host",
+            how="left",
+        )
+    else:
+        j = allowed.withColumn("max_fetch_per_round", F.lit(None).cast("int"))
+    b = F.coalesce(F.col("max_fetch_per_round"), F.lit(default_budget))
+    w = Window.partitionBy("host").orderBy(*[F.col(k).asc() for k in SORT_KEYS])
+    ranked = j.withColumn("__rn", F.row_number().over(w)).withColumn("__b", b)
+    fetched = ranked.filter(F.col("__rn") <= F.col("__b")).drop(
+        "__rn", "__b", "max_fetch_per_round"
+    )
+    carryover = ranked.filter(F.col("__rn") > F.col("__b")).drop(
+        "__rn", "__b", "max_fetch_per_round"
+    )
+    return fetched, carryover

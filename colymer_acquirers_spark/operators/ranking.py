@@ -1,0 +1,64 @@
+"""Scalable deterministic global ranking (SURVEY.md §4.3 "deterministic
+crawl ordering").
+
+A single ``Window.orderBy`` with no partition key collapses to one task — a
+non-starter at 10^10 rows. ``global_rank`` instead range-partitions on the
+sort key, ranks within partitions in parallel, and adds per-partition offsets
+(a tiny driver-side cumulative sum over partition counts). Rank values are a
+pure function of the key total order, so they are identical at any
+parallelism — the property the determinism tests pin down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_RN = "__rank_rn"
+
+
+def global_rank(
+    df: DataFrame,
+    keys: list[str],
+    rank_col: str = "rank",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``rank_col`` = start, start+1, ... in (keys) ascending order.
+
+    Requires `keys` to be a strict total order (unique tuples) for
+    parallelism-independent ranks; the crawl sort_key includes the unique
+    canonical_url, satisfying this.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_partitions, *[F.col(k) for k in keys])
+    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    w = Window.partitionBy(_PID).orderBy(*[F.col(k).asc() for k in keys])
+    ranged = ranged.withColumn(_RN, F.row_number().over(w))
+    # Persist so the counts pass and the ranked output see the same range
+    # boundaries (rank values don't depend on boundary placement, but the
+    # offsets below are keyed by the boundaries of *this* materialization).
+    ranged = ranged.persist()
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
+    offmap = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    return (
+        ranged.withColumn(
+            rank_col,
+            (F.element_at(offmap, F.col(_PID)) + F.col(_RN) - 1).cast("long"),
+        )
+        .drop(_PID, _RN)
+    )

@@ -1,0 +1,55 @@
+"""URL-seen set, exact tier (SURVEY.md §2.3 J1).
+
+Reference analog: the chain-block interval seen-set / min_id dedup boundary
+(``colymer/acquirers/acquirer.py:10-22,46``) plus the store's id-keyed
+idempotent insert (``colymer/sites/colymer.py:25-31``). The exact tier is a
+left-anti join — the truth; the bloom tier (`seen_bloom.py`) is a prefilter
+optimization layered in front of it (no false drops ever).
+
+Storage model: append-only per-round deltas (``rounds/K/seen_delta``), the
+analog of the reference's checkpoint-after-every-page (``acquirer.py:71-74``).
+`compact_seen` is the analog of block splicing/compaction
+(``acquirer.py:46-58``): merge deltas into one deduped base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_against_seen(frontier: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """Drop frontier rows whose canonical_url is already seen (exact)."""
+    if seen is None:
+        return frontier
+    return frontier.join(
+        seen.select("canonical_url"), on="canonical_url", how="left_anti"
+    )
+
+
+def merge_frontier(df: DataFrame) -> DataFrame:
+    """Per canonical_url keep the tuple-min candidate (FROZEN SPEC step 9).
+
+    Lexicographic min over (priority, depth, url, discovered_round) — struct
+    min in Spark matches Python tuple min for these types.
+    """
+    return (
+        df.groupBy("canonical_url")
+        .agg(
+            F.min(
+                F.struct("priority", "depth", "url", "discovered_round")
+            ).alias("m")
+        )
+        .select(
+            "canonical_url",
+            F.col("m.url").alias("url"),
+            F.col("m.priority").alias("priority"),
+            F.col("m.depth").alias("depth"),
+            F.col("m.discovered_round").alias("discovered_round"),
+        )
+    )
+
+
+def compact_seen(seen_union: DataFrame) -> DataFrame:
+    """Compaction job: dedup the union of seen deltas into one base table."""
+    return seen_union.select("canonical_url").dropDuplicates(["canonical_url"])

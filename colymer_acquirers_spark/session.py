@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode testing runs on ``local[N]``; production is ``spark-submit
+--py-files`` on a multi-executor cluster. All scale-sensitive knobs are
+centralized here so the bench harness can vary parallelism (local[8] vs
+local[32]) without touching plan code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "colymer_acquirers_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults chosen for scale:
+    - AQE on (runtime coalescing + skew-join splitting for hot hosts,
+      the engine's analog of the reference's single-threaded politeness
+      serialization never becoming a hotspot — SURVEY.md §4.2).
+    - Arrow on (every Python-side transform is a vectorized pandas UDF).
+    - shuffle partitions sized to the core count, not the 200 default.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local[N] -> N; a real cluster master string keeps 2x cores heuristic
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 64
+        except ValueError:
+            n = 64
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The engine controls ordering and overflow explicitly; ANSI's
+        # throw-on-element_at/overflow semantics are disabled so plans
+        # behave identically across Spark 3.x/4.x deployments.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,126 @@
+"""Engine ≡ pyref oracle on the deterministic synthetic web (SURVEY.md §5.2).
+
+Pins the north_rule correctness gate: exact crawl ordering, URL-seen set
+equality, and byte-identical extracted text per url.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from colymer_acquirers_spark import pyref
+from colymer_acquirers_spark.plans.crawl import read_output, run_crawl
+from colymer_acquirers_spark.sources.synth import (
+    synth_pages,
+    synth_politeness,
+    synth_robots,
+    synth_seeds,
+)
+
+N_PAGES = 300
+ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages = synth_pages(spark, N_PAGES)
+    seeds = synth_seeds(spark, 8)
+    politeness = synth_politeness(spark)
+    robots = synth_robots(spark)
+    return pages, seeds, politeness, robots
+
+
+@pytest.fixture(scope="module")
+def golden(web):
+    pages, seeds, politeness, robots = web
+    return pyref.crawl(
+        pages.toPandas(),
+        seeds.toPandas(),
+        politeness.toPandas(),
+        robots.toPandas(),
+        max_rounds=ROUNDS,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, web, tmp_path_factory):
+    pages, seeds, politeness, robots = web
+    workdir = str(tmp_path_factory.mktemp("crawl"))
+    summary = run_crawl(
+        spark, pages, seeds, politeness, robots, workdir, max_rounds=ROUNDS
+    )
+    return workdir, summary
+
+
+def test_crawl_order_exact(spark, golden, engine_run):
+    workdir, _ = engine_run
+    eng = (
+        read_output(spark, workdir, "crawl_order")
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    ref = golden.crawl_order.sort_values("rank").reset_index(drop=True)
+    assert len(eng) > 50, "crawl should actually progress"
+    pd.testing.assert_frame_equal(
+        eng[["rank", "url", "round"]].astype({"rank": "int64", "round": "int64"}),
+        ref[["rank", "url", "round"]].astype({"rank": "int64", "round": "int64"}),
+    )
+
+
+def test_seen_set_equal(spark, golden, engine_run):
+    workdir, _ = engine_run
+    eng = set(
+        read_output(spark, workdir, "seen_delta").toPandas()["canonical_url"]
+    )
+    assert eng == golden.seen
+
+
+def test_articles_byte_identical(spark, golden, engine_run):
+    workdir, _ = engine_run
+    eng = (
+        read_output(spark, workdir, "articles")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    ref = golden.articles.sort_values("url").reset_index(drop=True)
+    assert list(eng["url"]) == list(ref["url"])
+    assert list(eng["text_sha256"]) == list(ref["text_sha256"])
+    assert list(eng["content"]) == list(ref["content"])
+    assert list(eng["round"]) == list(ref["round"])
+
+
+def test_extracted_text_matches_ground_truth(spark, web, golden):
+    """extract_text(html) must reproduce pages.text byte-identically — the
+    ground-truth text column is built independently by the generator."""
+    pages_pd = web[0].toPandas()
+    truth = dict(zip(pages_pd["url"], pages_pd["text"]))
+    for rec in golden.articles.to_dict("records"):
+        assert rec["content"] == truth[rec["url"]], rec["url"]
+
+
+def test_lineage_matches(spark, golden, engine_run):
+    workdir, _ = engine_run
+    eng = (
+        read_output(spark, workdir, "lineage")
+        .toPandas()
+        .sort_values(["round", "src_url", "dst_url"])
+        .reset_index(drop=True)
+    )
+    ref = golden.lineage.sort_values(["round", "src_url", "dst_url"]).reset_index(
+        drop=True
+    )
+    assert len(eng) == len(ref)
+    assert (eng["src_url"] == ref["src_url"]).all()
+    assert (eng["dst_url"] == ref["dst_url"]).all()
+    assert (eng["round"].astype(int) == ref["round"].astype(int)).all()
+
+
+def test_metrics_match(golden, engine_run):
+    _, summary = engine_run
+    eng_m = summary["metrics"]
+    for ref_m, em in zip(golden.metrics, eng_m):
+        for k in ref_m:
+            assert em[k] == ref_m[k], (em["round"], k, em[k], ref_m[k])
