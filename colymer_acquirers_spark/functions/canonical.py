@@ -93,14 +93,50 @@ def _host_of_udf(urls: pd.Series) -> pd.Series:
     return host_of_series(urls)
 
 
-def canonicalize_url(col: Column | str) -> Column:
-    """Spark column: canonical form of a URL column (null if not canonical)."""
+def canonicalize_url_pandas(col: Column | str) -> Column:
+    """Arrow-UDF variant (kept for parity testing against the JVM exprs)."""
     return _canonicalize_udf(F.col(col) if isinstance(col, str) else col)
 
 
+def canonicalize_url(col: Column | str) -> Column:
+    """Spark column: canonical form of a URL column (null if not canonical).
+
+    Pure JVM column expressions (whole-stage codegen; zero Python
+    round-trips) implementing the same FROZEN SPEC as
+    ``canonicalize_url_series`` — property-tested equal on every fixture
+    (tests/test_canonical_expr.py). This is the hottest key computation in
+    the engine (every frontier row, every extracted link, every page), so it
+    must not cross the JVM↔Python boundary.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 3))
+    port = F.regexp_extract(u, _URL_RE, 4)
+    path = F.regexp_extract(u, _URL_RE, 5)
+    query = F.regexp_extract(u, _URL_RE, 6)
+
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(default_port | (port == ""), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    q_part = F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q))
+
+    valid = scheme.isin("http", "https") & (host != "")
+    return F.when(
+        valid, F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def host_of(col: Column | str) -> Column:
-    """Spark column: host[:port] of a canonical URL column."""
-    return _host_of_udf(F.col(col) if isinstance(col, str) else col)
+    """Spark column: host[:port] of a canonical URL column (JVM expr)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^[a-z]+://([^/]*)", 1)
 
 
 def shard_of(col: Column | str, n_shards: int) -> Column:

@@ -37,13 +37,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_SCRIPT_RE = r"(?is)<script\b.*?</script\s*>"
-_STYLE_RE = r"(?is)<style\b.*?</style\s*>"
+# explicit char class (not \s): Python-re \s is unicode-wide while Java \s is
+# ASCII-only — the frozen rule pins the exact whitespace set so the pandas
+# and JVM implementations agree byte-for-byte
+WS_CHARS = " \t\n\r\f\x0b\u00a0"
+_WS_CLASS = "[" + WS_CHARS + "]"
+_WS_RE = _WS_CLASS + "+"
+
+_SCRIPT_RE = r"(?is)<script\b.*?</script" + _WS_CLASS + r"*>"
+_STYLE_RE = r"(?is)<style\b.*?</style" + _WS_CLASS + r"*>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"<[^>]*>"
-_WS_RE = r"\s+"
 
-_HREF_RE = re.compile(r"""(?is)<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)')""")
+_HREF_RE = re.compile(
+    r"""(?is)<a\b[^>]*?\bhref""" + _WS_CLASS + r"*=" + _WS_CLASS + r"""*(?:"([^"]*)"|'([^']*)')"""
+)
 _BASE_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)")
 
 
@@ -94,7 +102,7 @@ def _normalize_path(path: str) -> str:
 
 
 def _join_url(base_scheme: str, base_host: str, base_dir: str, href: str) -> str | None:
-    h = href.strip()
+    h = href.strip(WS_CHARS)
     if not h or h.startswith("#"):
         return None
     low = h[:11].lower()
@@ -156,6 +164,24 @@ def _extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
     return extract_links_series(html, base_url)
 
 
+_PARSE_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.StringType(), True),
+        T.StructField("links", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+@pandas_udf(_PARSE_SCHEMA)
+def _parse_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "content": extract_text_series(html),
+            "links": extract_links_series(html, base_url),
+        }
+    )
+
+
 def extract_text(col: Column | str) -> Column:
     """Spark column: frozen text extraction from html (binary or string)."""
     return _extract_text_udf(F.col(col) if isinstance(col, str) else col)
@@ -166,3 +192,15 @@ def extract_links(html: Column | str, base_url: Column | str) -> Column:
     h = F.col(html) if isinstance(html, str) else html
     b = F.col(base_url) if isinstance(base_url, str) else base_url
     return _extract_links_udf(h, b)
+
+
+def parse_page(html: Column | str, base_url: Column | str) -> Column:
+    """struct<content, links> in ONE Arrow round-trip.
+
+    The html column crosses the JVM↔Python boundary exactly once per page —
+    on syscall-expensive hosts (microVM sandboxes) the socket transfer, not
+    the regex work, is the cost that matters.
+    """
+    h = F.col(html) if isinstance(html, str) else html
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    return _parse_page_udf(h, b)

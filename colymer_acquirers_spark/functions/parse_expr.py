@@ -1,0 +1,145 @@
+"""JVM-expression implementations of the frozen text/link extraction rules.
+
+Same FROZEN RULES as ``functions/parse.py`` (the pandas/Arrow reference
+implementation used by pyref), re-expressed as pure Spark column expressions:
+``regexp_replace`` chains, ``regexp_extract_all`` and higher-order array
+functions (``transform``/``aggregate``/``filter``). Whole-stage-codegen'd,
+zero JVM↔Python traffic — on syscall-expensive hosts the Arrow socket is the
+parse bottleneck, so keeping html inside the JVM is the scale win
+(SURVEY.md §4.2: "stay JVM-side").
+
+Byte-equality with the pandas implementations is pinned by
+tests/test_parse_expr.py over the synthetic web + adversarial fixtures; the
+whitespace set is the explicit frozen class shared via ``WS_CHARS``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from colymer_acquirers_spark.functions.parse import (
+    _COMMENT_RE,
+    _SCRIPT_RE,
+    _STYLE_RE,
+    _TAG_RE,
+    _WS_CLASS,
+    _WS_RE,
+)
+
+_HREF_ALL_RE = (
+    r"(?is)<a\b[^>]*?\bhref" + _WS_CLASS + r"*=" + _WS_CLASS + r"*(\"[^\"]*\"|'[^']*')"
+)
+_BASE_PARTS_RE = r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+
+
+def _as_str(html: Column) -> Column:
+    """Binary html → string (engine pages store html as utf-8 binary)."""
+    return F.decode(html, "UTF-8")
+
+
+def extract_text_expr(html: Column | str, is_binary: bool = True) -> Column:
+    """FROZEN TEXT RULE as a regexp_replace chain (no Python)."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    s = F.regexp_replace(s, _SCRIPT_RE, " ")
+    s = F.regexp_replace(s, _STYLE_RE, " ")
+    s = F.regexp_replace(s, _COMMENT_RE, " ")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, _WS_RE, " ")
+    return F.trim(s)
+
+
+def _normalize_path_expr(p: Column) -> Column:
+    """``.``/``..``/empty segment resolution via aggregate (FROZEN LINK RULE)."""
+    segs = F.split(p, "/")
+    acc = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda a, seg: F.when((seg == "") | (seg == "."), a)
+        .when(
+            seg == "..",
+            F.when(F.size(a) <= 0, a).otherwise(F.slice(a, 1, F.size(a) - 1)),
+        )
+        .otherwise(F.concat(a, F.array(seg))),
+    )
+    return F.concat(F.lit("/"), F.array_join(acc, "/"))
+
+
+def extract_links_expr(
+    html: Column | str, base_url: Column | str, is_binary: bool = True
+) -> Column:
+    """FROZEN LINK RULE as higher-order array expressions (no Python)."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    base = F.col(base_url) if isinstance(base_url, str) else base_url
+
+    scheme = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 2))
+    raw_path = F.regexp_extract(base, _BASE_PARTS_RE, 3)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    base_dir_raw = F.regexp_extract(path, r"^(.*/)", 1)
+    base_dir = F.when(base_dir_raw == "", F.lit("/")).otherwise(base_dir_raw)
+
+    quoted = F.regexp_extract_all(s, F.lit(_HREF_ALL_RE), F.lit(1))
+    hrefs = F.transform(quoted, lambda q: F.substring(q, 2, F.length(q) - 2))
+
+    strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
+
+    def join_one(h0: Column) -> Column:
+        t = F.regexp_replace(h0, strip_re, "")
+        tl = F.lower(t)
+        # relative resolution pieces (FROZEN LINK RULE, matching _join_url)
+        nofrag = F.element_at(F.split(t, "#", 2), 1)
+        path_part = F.element_at(F.split(nofrag, "[?]", 2), 1)
+        has_q = F.contains(nofrag, F.lit("?"))
+        q_tail = F.when(
+            has_q, F.concat(F.lit("?"), F.element_at(F.split(nofrag, "[?]", 2), 2))
+        ).otherwise(F.lit(""))
+        joined = _normalize_path_expr(F.concat(base_dir, path_part))
+        rel = F.concat(scheme, F.lit("://"), host, joined, q_tail)
+        # first '/'-segment then first '?'-segment, as in _join_url
+        first_seg = F.element_at(
+            F.split(F.element_at(F.split(t, "/", 2), 1), "[?]", 2), 1
+        )
+        return (
+            F.when((t == "") | t.startswith("#"), F.lit(None).cast("string"))
+            .when(
+                F.substring(tl, 1, 11).rlike("^(javascript:|mailto:|data:)"),
+                F.lit(None).cast("string"),
+            )
+            .when(tl.startswith("http://") | tl.startswith("https://"), t)
+            .when(F.contains(first_seg, F.lit("://")), F.lit(None).cast("string"))
+            .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
+            .when(t.startswith("/"), F.concat(scheme, F.lit("://"), host, t))
+            .when(nofrag == "", F.lit(None).cast("string"))
+            .otherwise(rel)
+        )
+
+    links = F.filter(F.transform(hrefs, join_one), lambda x: x.isNotNull())
+    # no base match (scheme empty) → empty list, as in extract_links_one
+    empty = F.array().cast("array<string>")
+    return F.when(s.isNull() | base.isNull() | (scheme == ""), empty).otherwise(links)
+
+
+def parse_page_expr(
+    html: Column | str, base_url: Column | str, is_binary: bool = True
+) -> Column:
+    """struct<content, links> — JVM-only analog of ``parse.parse_page``."""
+    h = F.col(html) if isinstance(html, str) else html
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    return F.struct(
+        extract_text_expr(h, is_binary).alias("content"),
+        extract_links_expr(h, b, is_binary).alias("links"),
+    )

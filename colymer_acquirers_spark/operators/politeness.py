@@ -52,11 +52,22 @@ def politeness_split(
     allowed: DataFrame,
     politeness: DataFrame | None,
     default_budget: int = 1_000_000,
+    skew_salt: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Split allowed candidates into (fetched, carryover) per FROZEN SPEC
     step 3: per host, the first budget(host) rows in sort_key order fetch
     this round; the rest carry over unchanged (reference: deferred pages stay
-    behind the open block's bottom_cursor, acquirer.py:60-74)."""
+    behind the open block's bottom_cursor, acquirer.py:60-74).
+
+    Skew-safe two-phase top-k (SURVEY.md §7.4 hard part 5): a hot host (the
+    fixture puts ~30%% of URLs on one host) would serialize a plain
+    per-host window into one giant task. Phase 1 ranks within
+    (host, salt=murmur3(canonical_url) mod S) groups — parallel even inside
+    one host — and any row ranked > budget *locally* is already > budget
+    globally, so it goes straight to carryover. Phase 2 ranks the ≤ S·budget
+    survivors per host exactly. The fetched set is identical to the
+    single-window result (exactness property of two-phase top-k).
+    """
     if politeness is not None:
         j = allowed.join(
             F.broadcast(politeness.select("host", "max_fetch_per_round")),
@@ -66,12 +77,29 @@ def politeness_split(
     else:
         j = allowed.withColumn("max_fetch_per_round", F.lit(None).cast("int"))
     b = F.coalesce(F.col("max_fetch_per_round"), F.lit(default_budget))
-    w = Window.partitionBy("host").orderBy(*[F.col(k).asc() for k in SORT_KEYS])
-    ranked = j.withColumn("__rn", F.row_number().over(w)).withColumn("__b", b)
-    fetched = ranked.filter(F.col("__rn") <= F.col("__b")).drop(
-        "__rn", "__b", "max_fetch_per_round"
-    )
-    carryover = ranked.filter(F.col("__rn") > F.col("__b")).drop(
-        "__rn", "__b", "max_fetch_per_round"
-    )
+    order = [F.col(k).asc() for k in SORT_KEYS]
+    j = j.withColumn("__b", b)
+    drop_cols = ["__rn", "__b", "max_fetch_per_round", "__salt", "__lrn"]
+
+    def _clean(df: DataFrame) -> DataFrame:
+        return df.drop(*[c for c in drop_cols if c in df.columns])
+
+    if skew_salt > 1:
+        j = j.withColumn(
+            "__salt", F.pmod(F.hash(F.col("canonical_url")), F.lit(skew_salt))
+        )
+        w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+        j = j.withColumn("__lrn", F.row_number().over(w1))
+        survivors = j.filter(F.col("__lrn") <= F.col("__b"))
+        pruned = j.filter(F.col("__lrn") > F.col("__b"))
+    else:
+        survivors = j
+        pruned = None
+
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("__rn", F.row_number().over(w2))
+    fetched = _clean(ranked.filter(F.col("__rn") <= F.col("__b")))
+    carryover = _clean(ranked.filter(F.col("__rn") > F.col("__b")))
+    if pruned is not None:
+        carryover = carryover.unionByName(_clean(pruned))
     return fetched, carryover

@@ -88,13 +88,16 @@ def run_crawl(
     max_rounds: int = 10,
     default_budget: int = 1_000_000,
     resume: bool = True,
+    parse_impl: str = "jvm",
 ) -> dict:
     """Run (or resume) up to ``max_rounds`` crawl rounds; returns summary.
 
     Deterministic: same (pages, seeds, politeness, robots, budgets) →
     identical outputs at any parallelism, resumed or not.
     """
-    pages_k = keyed_pages(pages)
+    # canonicalize once, reuse across rounds (at warehouse scale the pages
+    # table stores canonical_url as a bucketed column instead — see README)
+    pages_k = keyed_pages(pages).persist()
 
     done = committed_rounds(workdir) if resume else []
     if not resume and os.path.isdir(os.path.join(workdir, "rounds")):
@@ -135,6 +138,7 @@ def run_crawl(
             rnd,
             rank_offset,
             default_budget,
+            parse_impl=parse_impl,
         )
         rd = _round_dir(workdir, rnd)
         # clean any uncommitted leftovers from a crashed attempt
@@ -160,8 +164,10 @@ def run_crawl(
         with open(tmp, "w") as f:
             json.dump({"round": rnd, "rank_offset_next": rank_offset, "metrics": metrics}, f)
         os.replace(tmp, _manifest_path(workdir, rnd))
-        spark.catalog.clearCache()
+        for df in rr.persisted:
+            df.unpersist()
 
+    pages_k.unpersist()
     return {
         "rounds": committed_rounds(workdir),
         "rank_total": rank_offset,

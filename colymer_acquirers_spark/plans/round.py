@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from colymer_acquirers_spark.functions.canonical import canonicalize_url, host_of
-from colymer_acquirers_spark.functions.parse import extract_links, extract_text
+from colymer_acquirers_spark.functions.parse import parse_page
+from colymer_acquirers_spark.functions.parse_expr import parse_page_expr
 from colymer_acquirers_spark.operators.politeness import politeness_split, robots_filter
 from colymer_acquirers_spark.operators.ranking import global_rank
 from colymer_acquirers_spark.operators.seen import dedup_against_seen, merge_frontier
@@ -37,6 +38,7 @@ class RoundResult:
     lineage: DataFrame  # round, src_url, dst_url
     frontier_next: DataFrame  # schemas.FRONTIER
     metrics: dict
+    persisted: list  # round-local cached DataFrames; unpersist after commit
 
 
 def bootstrap_frontier(seeds: DataFrame) -> DataFrame:
@@ -67,11 +69,16 @@ def run_round(
     rnd: int,
     rank_offset: int,
     default_budget: int = 1_000_000,
+    parse_impl: str = "jvm",
 ) -> RoundResult:
     """Execute FROZEN SPEC steps 1-9 for round ``rnd``.
 
     Returned DataFrames are lazy; the caller materializes them (checkpoint
     commit). ``frontier`` must already be merged (unique canonical_url).
+
+    parse_impl: 'jvm' (whole-stage-codegen regexp/HOF expressions — default;
+    html never leaves the JVM) or 'arrow' (pandas UDF, one Arrow round-trip
+    per page). Both implement the same FROZEN RULES, byte-equal by test.
     """
     n_frontier = frontier.count()
 
@@ -99,19 +106,36 @@ def run_round(
 
     # 6. fetch-simulate: equi-join on canonical_url (left: misses = dangling)
     joined = fetched.select("canonical_url", "priority", "depth").join(
-        pages_k.select("canonical_url", "html", "lang", "warc_ts"),
+        pages_k.select("canonical_url", "html", "lang"),
         on="canonical_url",
         how="left",
     )
+    # 7. parse: content + links in one pass (JVM exprs by default; the Arrow
+    # UDF variant crosses to Python exactly once per page); html is dropped
+    # before the cache so it is never buffered twice
+    parse_fn = parse_page_expr if parse_impl == "jvm" else parse_page
     parsed = (
         joined.filter(F.col("html").isNotNull())
-        .withColumn("content", extract_text("html"))
+        .select(
+            "canonical_url",
+            "priority",
+            "depth",
+            "lang",
+            parse_fn("html", "canonical_url").alias("p"),
+        )
+        .select(
+            "canonical_url",
+            "priority",
+            "depth",
+            "lang",
+            F.col("p.content").alias("content"),
+            F.col("p.links").alias("links"),
+        )
         .persist()
     )
     n_parsed = parsed.count()
     n_miss = n_fetched - n_parsed
 
-    # 7. articles + lineage
     articles = parsed.select(
         F.col("canonical_url").alias("url"),
         "content",
@@ -124,7 +148,7 @@ def run_round(
             F.col("canonical_url").alias("src_url"),
             "priority",
             "depth",
-            F.explode(extract_links("html", "canonical_url")).alias("raw_url"),
+            F.explode("links").alias("raw_url"),
         )
         .withColumn("dst_url", canonicalize_url("raw_url"))
         .filter(F.col("dst_url").isNotNull())
@@ -177,4 +201,5 @@ def run_round(
         lineage=lineage,
         frontier_next=frontier_next,
         metrics=metrics,
+        persisted=[candidates, fetched, parsed, links],
     )

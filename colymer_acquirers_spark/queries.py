@@ -1,0 +1,538 @@
+"""Driver-contract query catalog: Spark DataFrame implementations paired
+with DuckDB oracle SQL (SURVEY.md §5.3 Oracle B).
+
+Each entry exercises one operator family from SURVEY.md §2 (cites inline) or
+a training-data pipeline op. Column names/types are aligned between the
+Spark plan and the oracle SQL (the driver hashes values after sorting
+columns by name). Float-aggregation hazards are avoided by exact DECIMAL
+arithmetic cast to DOUBLE at the end (identical bits on both engines).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived pages view (FIXTURES.md §6): documents → Common-Crawl-shaped pages
+# ---------------------------------------------------------------------------
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages table derived from the documents fixture.
+
+    url/host/link targets are pure integer arithmetic on doc_id so the same
+    derivation is expressible in the DuckDB oracle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+
+    def url_of(k):
+        return F.concat(
+            F.lit("https://h"),
+            (k % 17).cast("string"),
+            F.lit(".test/d/"),
+            k.cast("string"),
+        )
+
+    t1 = (d * 7 + 3) % n
+    t2 = (d * 13 + 5) % n
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="'),
+        url_of(t1),
+        F.lit('">[0]</a><a href="'),
+        url_of(t2),
+        F.lit('">[1]</a></body></html>'),
+    )
+    return docs.select(
+        url_of(d).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.concat(
+            F.lit("Doc "), d.cast("string"), F.lit(" "), F.col("text"),
+            F.lit(" [0] [1]"),
+        ).alias("text"),
+        F.col("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # J1 — seen-set membership as left-anti join (acquirer.py:21-22,46)
+    def seen_anti_join(spark, sf):
+        customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return (
+            customer.join(
+                orders.select(F.col("o_custkey").alias("c_custkey")),
+                on="c_custkey",
+                how="left_anti",
+            )
+            .select("c_custkey", "c_name")
+        )
+    q["seen_anti_join"] = seen_anti_join
+
+    # J5 + A3 — fetch-simulate equi-join + aggregation (exact decimal math)
+    def fetch_join_revenue(spark, sf):
+        orders, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+            F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+        )
+        return (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(rev).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+    q["fetch_join_revenue"] = fetch_join_revenue
+
+    # J4 — broadcast dim join chain (politeness/robots config application)
+    def broadcast_dim_join(spark, sf):
+        c, n, r = _t(spark, sf, "customer"), _t(spark, sf, "nation"), _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+    q["broadcast_dim_join"] = broadcast_dim_join
+
+    # W1 — politeness window rank: first-k per partition in deterministic order
+    def politeness_window_rank(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id", "rn")
+        )
+    q["politeness_window_rank"] = politeness_window_rank
+
+    # A4 — best-variant argmax (max bitrate, twitter.py:32-36, weibo.py:54-61)
+    def argmax_best_variant(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("best_event_id"), "value")
+        )
+    q["argmax_best_variant"] = argmax_best_variant
+
+    # U1 — union + dedup (seen-set growth / frontier merge)
+    def union_dedup(spark, sf):
+        d = _t(spark, sf, "documents")
+        a = d.filter(F.col("doc_id") < 300)
+        b = d.filter((F.col("doc_id") >= 200))
+        return (
+            a.unionByName(b)
+            .select("doc_id", "lang")
+            .dropDuplicates(["doc_id"])
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    q["union_dedup"] = union_dedup
+
+    # X1-X5 — explode/flatten (sidecar children, pics, story items)
+    def explode_word_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 10)
+        )
+    q["explode_word_count"] = explode_word_count
+
+    # F4/F5 — timestamp bucketing (date parse/convert, weibo.py:225)
+    def date_bucket_agg(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+        )
+    q["date_bucket_agg"] = date_bucket_agg
+
+    # T1/T2 — deterministic top-k (newest-first iteration, page-size limit)
+    def sort_topk(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .select("o_orderkey", "o_totalprice")
+            .limit(10)
+        )
+    q["sort_topk"] = sort_topk
+
+    # F3/F10 — regex extraction from JSON passthrough (metadata.original_data)
+    def json_extract_k(spark, sf):
+        ev = _t(spark, sf, "events")
+        k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+        return (
+            ev.select(k.alias("k"))
+            .groupBy((F.col("k") % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["json_extract_k"] = json_extract_k
+
+    # F1/F2/F8/F9 — URL construction + prefix/suffix predicates
+    def url_build_filter(spark, sf):
+        d = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        )
+        return (
+            d.select("doc_id", url.alias("url"))
+            .filter(F.col("url").startswith("https://src1") & F.col("url").endswith("0"))
+        )
+    q["url_build_filter"] = url_build_filter
+
+    # J2/S7/S8/O4 — lazy detail materialization: selective join + coalesce
+    def conditional_detail_join(spark, sf):
+        o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+        cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 150000)
+        return (
+            o.join(F.broadcast(c), cond, "left")
+            .select(
+                "o_orderkey",
+                F.coalesce(F.col("c_name"), F.lit("")).alias("detail_name"),
+            )
+        )
+    q["conditional_detail_join"] = conditional_detail_join
+
+    # P9+W1+W2 — one crawl-round schedule (dedup → budget rank → global order)
+    def crawl_one_round_schedule(spark, sf):
+        from colymer_acquirers_spark.operators.politeness import politeness_split
+        from colymer_acquirers_spark.operators.ranking import global_rank
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (did % 17).cast("string"), F.lit(".test/d/"),
+            did.cast("string"),
+        )
+        frontier = (
+            d.filter(did < 40)
+            .select(
+                url.alias("canonical_url"),
+                F.concat(F.lit("h"), (did % 17).cast("string"), F.lit(".test")).alias("host"),
+                (did % 3).cast("int").alias("priority"),
+                F.lit(0).cast("int").alias("depth"),
+                did.alias("doc_id"),
+            )
+        )
+        seen = d.filter(did % 5 == 0).select(
+            F.concat(
+                F.lit("https://h"), (did % 17).cast("string"), F.lit(".test/d/"),
+                did.cast("string"),
+            ).alias("canonical_url")
+        )
+        candidates = frontier.join(seen, "canonical_url", "left_anti")
+        politeness = (
+            candidates.select("host").distinct()
+            .withColumn("max_fetch_per_round", F.lit(2))
+        )
+        fetched, _ = politeness_split(candidates, politeness)
+        ranked = global_rank(fetched, ["priority", "depth", "canonical_url"], "crawl_rank")
+        return ranked.select("crawl_rank", F.col("canonical_url").alias("url"), "host")
+    q["crawl_one_round_schedule"] = crawl_one_round_schedule
+
+    # dedup-exact — hash-groupBy cardinality (training-data pipeline)
+    def dedup_exact_hash(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique"),
+        )
+    q["dedup_exact_hash"] = dedup_exact_hash
+
+    # dedup-minhash — 4-permutation word minhash; md5 is the hash family and
+    # lexicographic min over fixed-length hex == numeric min
+    def minhash_signature(spark, sf):
+        d = _t(spark, sf, "documents")
+        words = d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        aggs = [
+            F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{j}")).cast("binary"))).alias(f"sig{j}")
+            for j in range(4)
+        ]
+        return words.groupBy("doc_id").agg(*aggs)
+    q["minhash_signature"] = minhash_signature
+
+    # text-analysis — token counting
+    def token_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    q["token_count"] = token_count
+
+    # text-analysis — quality scoring (length / avg token len / stopword hits)
+    def quality_score(spark, sf):
+        d = _t(spark, sf, "documents")
+        n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+        n_chars = F.length(F.col("text")).cast("long")
+        stop_hits = F.floor(
+            (
+                F.length(F.col("text"))
+                - F.length(F.replace(F.col("text"), F.lit(" the "), F.lit("")))
+            )
+            / 5
+        )
+        return d.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            F.floor(n_chars * 100 / n_tokens).alias("avg_token_len_x100"),
+            stop_hits.alias("stop_hits"),
+            ((n_chars >= 100) & (n_chars <= 2000)).alias("len_ok"),
+        )
+    q["quality_score"] = quality_score
+
+    # text-analysis — n-gram-heuristic language ID (script-range detector)
+    def lang_id_heuristic(spark, sf):
+        d = _t(spark, sf, "documents")
+        pred = (
+            F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
+            .when(F.col("text").rlike("[぀-ヿ]"), F.lit("ja"))
+            .when(F.col("text").rlike("[À-ÿ]"), F.lit("de"))
+            .otherwise(F.lit("en"))
+        )
+        return (
+            d.select("doc_id", pred.alias("pred_lang"), "lang")
+            .groupBy("pred_lang", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["lang_id_heuristic"] = lang_id_heuristic
+
+    # text-analysis — document fingerprint
+    def doc_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", F.md5(F.lower(F.col("text")).cast("binary")).alias("fp")
+        )
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # similarity-search — brute-force cosine top-k (double-precision,
+    # left-to-right fold on both engines)
+    def ann_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qe")
+        )
+        j = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+        ).crossJoin(F.broadcast(qv))
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        sim = dot(F.col("ve"), F.col("qe")) / (
+            F.sqrt(dot(F.col("ve"), F.col("ve"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
+        )
+        return (
+            j.select("vec_id", sim.alias("sim"))
+            .filter(F.col("vec_id") != 0)
+            .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id")
+        )
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    dot = (
+        "list_sum(list_apply(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    )
+    return {
+        "seen_anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "fetch_join_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "politeness_window_rank": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "argmax_best_variant": """
+            SELECT user_id, event_id AS best_event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "union_dedup": """
+            SELECT lang, COUNT(*) AS n_docs FROM (
+              SELECT DISTINCT doc_id, lang FROM (
+                SELECT doc_id, lang FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT doc_id, lang FROM documents WHERE doc_id >= 200))
+            GROUP BY lang
+        """,
+        "explode_word_count": """
+            SELECT word, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word HAVING COUNT(*) >= 10
+        """,
+        "date_bucket_agg": """
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "json_extract_k": """
+            SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "url_build_filter": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE ('https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)) LIKE 'https://src1%'
+              AND ('https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)) LIKE '%0'
+        """,
+        "conditional_detail_join": """
+            SELECT o_orderkey, COALESCE(c_name, '') AS detail_name
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+        """,
+        "crawl_one_round_schedule": """
+            WITH frontier AS (
+              SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.test/d/' || CAST(doc_id AS VARCHAR) AS canonical_url,
+                     'h' || CAST(doc_id % 17 AS VARCHAR) || '.test' AS host,
+                     CAST(doc_id % 3 AS INT) AS priority, 0 AS depth
+              FROM documents WHERE doc_id < 40),
+            seen AS (
+              SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.test/d/' || CAST(doc_id AS VARCHAR) AS canonical_url
+              FROM documents WHERE doc_id % 5 = 0),
+            candidates AS (
+              SELECT * FROM frontier f
+              WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canonical_url = f.canonical_url)),
+            fetched AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, depth, canonical_url) AS hr
+                FROM candidates) WHERE hr <= 2)
+            SELECT ROW_NUMBER() OVER (ORDER BY priority, depth, canonical_url) - 1 AS crawl_rank,
+                   canonical_url AS url, host
+            FROM fetched
+        """,
+        "dedup_exact_hash": """
+            SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique FROM documents
+        """,
+        "minhash_signature": """
+            SELECT doc_id,
+                   MIN(md5(word || '#0')) AS sig0, MIN(md5(word || '#1')) AS sig1,
+                   MIN(md5(word || '#2')) AS sig2, MIN(md5(word || '#3')) AS sig3
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY doc_id
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(floor(length(text) * 100 / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_x100,
+                   CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT) AS stop_hits,
+                   length(text) BETWEEN 100 AND 2000 AS len_ok
+            FROM documents
+        """,
+        "lang_id_heuristic": """
+            SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                        WHEN regexp_matches(text, '[À-ÿ]') THEN 'de'
+                        ELSE 'en' END AS pred_lang,
+                   lang, COUNT(*) AS n
+            FROM documents GROUP BY 1, 2
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT vec_id,
+                     {dot.format(a='embedding::DOUBLE[]', b='qe')}
+                     / (sqrt({dot.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')})
+                        * sqrt({dot.format(a='qe', b='qe')})) AS sim
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship: multi-round crawl over the derived pages view (rows-only check —
+# the pyref oracle covers it in tests; not single-statement-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def flagship_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFrame:
+    from colymer_acquirers_spark.plans.crawl import read_output, run_crawl
+
+    pages = pages_from_documents(spark, sf_dir)
+    seeds = (
+        pages.orderBy("url")
+        .limit(5)
+        .select("url", F.lit(0).cast("int").alias("priority"))
+    )
+    politeness = (
+        spark.range(17)
+        .select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias("host"),
+            F.lit(4).cast("int").alias("max_fetch_per_round"),
+            F.lit(1.0).alias("crawl_delay_s"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="flagship_crawl_")
+    run_crawl(spark, pages, seeds, politeness, None, workdir, max_rounds=max_rounds)
+    return read_output(spark, workdir, "articles")
