@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Beyond the engine's URL-seen dedup (the reference's id-keyed idempotent sink,
+``colymer/sites/colymer.py:25-31``), these cover content-level dedup as used
+by training-data pipelines: exact hash, MinHash+LSH, SimHash, and n-gram
+Jaccard. All are pure DataFrame plans (JVM expressions; the hash family is
+md5 — portable to the DuckDB oracle). Pair-generation is always
+candidate-bucketed (LSH bands / shared shingles), never a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_long(col) -> F.Column:
+    """First 15 hex chars of md5 → int64 (portable hash family)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep the tuple-min row per key (deterministic keep-first)."""
+    others = [c for c in df.columns if c not in key_cols]
+    struct_cols = order_cols + [c for c in others if c not in order_cols]
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(F.struct(*[F.col(c) for c in struct_cols])).alias("m"))
+        .select(*key_cols, *[F.col(f"m.{c}").alias(c) for c in others])
+    )
+
+
+def tokenize(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
+    return df.select("*", F.explode(F.split(F.col(text_col), " ")).alias(out))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """Word-level MinHash: sig_j = min over words of md5int(word||'#'||j).
+
+    One explode + one groupBy; the n_hashes mins are computed in a single
+    aggregation pass (no per-hash shuffle).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    aggs = [
+        F.min(_md5_long(F.concat(F.col("w"), F.lit(f"#{j}")))).alias(f"sig{j}")
+        for j in range(n_hashes)
+    ]
+    return words.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    shingle→minhash→band→bucket-join: docs sharing any full band collide;
+    the band self-join is an equi-join on (band_idx, band_key) — shuffle on
+    the bucket key only, never a cross join. Returns distinct (id_a, id_b),
+    id_a < id_b.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band_idx", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, one aggregation pass.
+
+    Per word: 64 bits from the md5 hex digest (16 nibbles × 4 bits); each bit
+    contributes +1/-1 to its lane; the sign vector packs into one int64.
+    All JVM expressions (conv/shift/sum) — no UDF.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    digest = F.md5(F.col("w").cast("binary"))
+    lane_sums = []
+    for i in range(64):
+        nibble = F.conv(F.substring(digest, 1 + i // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, 3 - i % 4) % 2
+        lane_sums.append(F.sum(bit * 2 - 1).alias(f"l{i}"))
+    lanes = words.groupBy(id_col).agg(*lane_sums)
+    packed = None
+    for i in range(64):
+        # shiftleft wraps bit 63 into the sign bit (1<<63 overflows a lit)
+        term = F.when(F.col(f"l{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.shiftleft(F.lit(1).cast("long"), i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return lanes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit chunks.
+
+    Pigeonhole: at hamming ≤ 3 over 4 chunks, at least one chunk matches
+    exactly → candidates = equi-join per chunk, verified by popcount.
+    """
+    sh = simhash64(df, id_col, text_col)
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            (F.shiftrightunsigned(F.col("simhash"), 16 * c) % (1 << 16)).alias(
+                "chunk_key"
+            ),
+        )
+        for c in range(4)
+    ]
+    keyed = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("ck")
+    ).select(id_col, "simhash", "ck.chunk_idx", "ck.chunk_key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    shingles via JVM transform over the token array (no UDF); pair counts
+    from a shingle self-join (shuffle on the shingle hash); Jaccard from
+    |A∩B| and per-doc shingle counts.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+        ).alias("sh"),
+    ).dropDuplicates([id_col, "sh"])
+    counts = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -24,12 +24,16 @@ def global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_total: bool = False,
+):
     """Attach ``rank_col`` = start, start+1, ... in (keys) ascending order.
 
     Requires `keys` to be a strict total order (unique tuples) for
     parallelism-independent ranks; the crawl sort_key includes the unique
     canonical_url, satisfying this.
+
+    return_total=True → (df, total_rows): the row count falls out of the
+    offset computation for free (no extra job for callers needing it).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -50,15 +54,18 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    total = acc - start
     if not offsets:
-        return df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
+        out = df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
+        return (out, 0) if return_total else out
     offmap = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
-    return (
+    out = (
         ranged.withColumn(
             rank_col,
             (F.element_at(offmap, F.col(_PID)) + F.col(_RN) - 1).cast("long"),
         )
         .drop(_PID, _RN)
     )
+    return (out, total) if return_total else out

@@ -14,17 +14,53 @@ analog of the reference's checkpoint-after-every-page (``acquirer.py:71-74``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def dedup_against_seen(frontier: DataFrame, seen: DataFrame | None) -> DataFrame:
-    """Drop frontier rows whose canonical_url is already seen (exact)."""
+    """Drop frontier rows whose canonical_url is already seen (exact).
+
+    The 'continue' boundary form (SURVEY.md §2.2 P9, twitter.py:145-147):
+    seen rows drop, everything else proceeds this round.
+    """
     if seen is None:
         return frontier
     return frontier.join(
         seen.select("canonical_url"), on="canonical_url", how="left_anti"
     )
+
+
+def boundary_break_split(
+    frontier: DataFrame, seen: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """The 'break' boundary form (P9, weibo.py:311-313, instagram.py:65-67):
+    per host, walk frontier rows in sort_key order; the FIRST seen row stops
+    the host's round — it drops (it is seen), unseen rows ranked after it
+    defer to the next round.
+
+    Returns (candidates, boundary_deferred)."""
+    if seen is None:
+        return frontier, frontier.limit(0)
+    flagged = frontier.join(
+        seen.select("canonical_url").withColumn("__seen", F.lit(True)),
+        on="canonical_url",
+        how="left",
+    )
+    order = [F.col("priority").asc(), F.col("depth").asc(), F.col("canonical_url").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    whost = Window.partitionBy("host")
+    flagged = flagged.withColumn("__rn", F.row_number().over(w))
+    flagged = flagged.withColumn(
+        "__boundary",
+        F.min(F.when(F.col("__seen"), F.col("__rn"))).over(whost),
+    )
+    not_seen = F.col("__seen").isNull()
+    before = F.col("__rn") < F.coalesce(F.col("__boundary"), F.lit(1 << 62))
+    drop = ["__seen", "__rn", "__boundary"]
+    candidates = flagged.filter(not_seen & before).drop(*drop)
+    deferred = flagged.filter(not_seen & ~before).drop(*drop)
+    return candidates, deferred
 
 
 def merge_frontier(df: DataFrame) -> DataFrame:

@@ -18,8 +18,10 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from colymer_acquirers_spark import schemas
+from colymer_acquirers_spark.operators.seen_bloom import BLOOM_SCHEMA, BloomSeen
 from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
 
 OUTPUTS = ["crawl_order", "seen_delta", "articles", "lineage", "frontier_next"]
@@ -57,10 +59,15 @@ def _read_or_empty(spark: SparkSession, paths: list[str], schema) -> DataFrame:
 
 
 def read_output(spark: SparkSession, workdir: str, name: str, upto: int | None = None) -> DataFrame:
-    """Union an output across committed rounds (e.g. all articles)."""
+    """Union an output across committed rounds (e.g. all articles).
+
+    ``seen_delta`` is a view over crawl_order (the fetched URLs ARE the seen
+    delta — one write instead of two per round)."""
+    if name == "seen_delta":
+        co = read_output(spark, workdir, "crawl_order", upto)
+        return co.select(F.col("url").alias("canonical_url"))
     schema = {
         "crawl_order": schemas.CRAWL_ORDER,
-        "seen_delta": schemas.SEEN,
         "articles": None,
         "lineage": schemas.LINEAGE,
         "frontier_next": schemas.FRONTIER,
@@ -89,12 +96,34 @@ def run_crawl(
     default_budget: int = 1_000_000,
     resume: bool = True,
     parse_impl: str = "jvm",
+    boundary_mode: str = "continue",
+    use_bloom: bool = False,
+    bloom_filter: "BloomSeen | None" = None,
+    initial_seen: DataFrame | None = None,
+    metrics_full: bool = True,
 ) -> dict:
     """Run (or resume) up to ``max_rounds`` crawl rounds; returns summary.
 
     Deterministic: same (pages, seeds, politeness, robots, budgets) →
-    identical outputs at any parallelism, resumed or not.
+    identical outputs at any parallelism, resumed or not, bloom on or off
+    (the bloom is a prefilter with an exact backstop — never changes
+    results, only the amount of exact anti-join work).
     """
+    if use_bloom and bloom_filter is None:
+        bloom_filter = BloomSeen()
+
+    # pre-existing seen state (reference analog: chain blocks from a prior
+    # scan, acquirer.py:21-22); persisted once so resume sees the same state
+    seen_base_path = os.path.join(workdir, "initial_seen")
+    if initial_seen is not None and not os.path.exists(seen_base_path):
+        initial_seen.select("canonical_url").write.mode("overwrite").parquet(
+            seen_base_path
+        )
+    seen_base = (
+        spark.read.schema(schemas.SEEN).parquet(seen_base_path)
+        if os.path.exists(seen_base_path)
+        else None
+    )
     # canonicalize once, reuse across rounds (at warehouse scale the pages
     # table stores canonical_url as a bucketed column instead — see README)
     pages_k = keyed_pages(pages).persist()
@@ -129,6 +158,18 @@ def run_crawl(
             if rnd > 0
             else None
         )
+        if seen_base is not None:
+            seen = seen_base if seen is None else seen.unionByName(seen_base)
+        bloom = None
+        if use_bloom and rnd > 0:
+            bloom_path = os.path.join(_round_dir(workdir, rnd - 1), "bloom")
+            if os.path.exists(bloom_path):
+                bloom = spark.read.schema(BLOOM_SCHEMA).parquet(bloom_path)
+        rd = _round_dir(workdir, rnd)
+        # clean any uncommitted leftovers from a crashed attempt
+        if os.path.isdir(rd) and not os.path.exists(_manifest_path(workdir, rnd)):
+            shutil.rmtree(rd)
+        os.makedirs(rd, exist_ok=True)
         rr = run_round(
             frontier,
             seen,
@@ -137,27 +178,31 @@ def run_crawl(
             robots,
             rnd,
             rank_offset,
-            default_budget,
+            out_dir=rd,
+            default_budget=default_budget,
             parse_impl=parse_impl,
+            boundary_mode=boundary_mode,
+            bloom=bloom,
+            bloom_filter=bloom_filter,
+            metrics_full=metrics_full,
+            n_frontier=frontier_count,
         )
-        rd = _round_dir(workdir, rnd)
-        # clean any uncommitted leftovers from a crashed attempt
-        if os.path.isdir(rd) and not os.path.exists(_manifest_path(workdir, rnd)):
-            shutil.rmtree(rd)
-        os.makedirs(rd, exist_ok=True)
-        rr.crawl_order.write.mode("overwrite").parquet(os.path.join(rd, "crawl_order"))
-        rr.seen_delta.write.mode("overwrite").parquet(os.path.join(rd, "seen_delta"))
-        rr.articles.write.mode("overwrite").parquet(os.path.join(rd, "articles"))
-        rr.lineage.write.mode("overwrite").parquet(os.path.join(rd, "lineage"))
-        rr.frontier_next.write.mode("overwrite").parquet(
-            os.path.join(rd, "frontier_next")
-        )
+        if use_bloom:
+            # accumulate: OR-merge previous bloom with this round's delta;
+            # the round-0 bloom must also cover any pre-existing seen state,
+            # or those URLs would wrongly probe "definitely unseen"
+            delta_src = rr.seen_delta
+            if rnd == 0 and seen_base is not None:
+                delta_src = delta_src.unionByName(seen_base.select("canonical_url"))
+            delta = bloom_filter.build_delta(delta_src)
+            acc = delta if bloom is None else bloom_filter.merge(bloom.unionByName(delta))
+            acc.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
         frontier = spark.read.schema(schemas.FRONTIER).parquet(
             os.path.join(rd, "frontier_next")
         )
-        frontier_count = frontier.count()
+        frontier_count = rr.metrics["frontier_next_count"]
         rank_offset += rr.metrics["fetched"]
-        metrics = dict(rr.metrics, frontier_next_count=frontier_count)
+        metrics = dict(rr.metrics)
         all_metrics.append(metrics)
         # commit marker LAST (atomic at the filesystem-rename granularity)
         tmp = _manifest_path(workdir, rnd) + ".tmp"

@@ -11,13 +11,20 @@ the whole frontier in bulk:
 
 Only two shuffles dominate: the anti-join on canonical_url and the window on
 host (the fetch-join reuses the canonical_url clustering under AQE).
+
+Driver-job economy: a round runs a fixed, small number of actions —
+1 (optional) candidates count, 1 (optional) robots count, the rank-offset
+collect, and one write per output with row counts piggybacked on
+``Observation`` — because on 10^3-round crawls the per-job fixed cost, not
+the data, is what dominates wall-clock at the small end.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from colymer_acquirers_spark.functions.canonical import canonicalize_url, host_of
@@ -25,18 +32,19 @@ from colymer_acquirers_spark.functions.parse import parse_page
 from colymer_acquirers_spark.functions.parse_expr import parse_page_expr
 from colymer_acquirers_spark.operators.politeness import politeness_split, robots_filter
 from colymer_acquirers_spark.operators.ranking import global_rank
-from colymer_acquirers_spark.operators.seen import dedup_against_seen, merge_frontier
+from colymer_acquirers_spark.operators.seen import (
+    boundary_break_split,
+    dedup_against_seen,
+    merge_frontier,
+)
+from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
 
 SORT_KEYS = ["priority", "depth", "canonical_url"]
 
 
 @dataclass
 class RoundResult:
-    crawl_order: DataFrame  # rank, url, round
-    seen_delta: DataFrame  # canonical_url
-    articles: DataFrame  # schemas.ARTICLES subset
-    lineage: DataFrame  # round, src_url, dst_url
-    frontier_next: DataFrame  # schemas.FRONTIER
+    seen_delta: DataFrame  # lazy; used for the bloom delta build
     metrics: dict
     persisted: list  # round-local cached DataFrames; unpersist after commit
 
@@ -68,40 +76,71 @@ def run_round(
     robots: DataFrame | None,
     rnd: int,
     rank_offset: int,
+    out_dir: str,
     default_budget: int = 1_000_000,
     parse_impl: str = "jvm",
+    boundary_mode: str = "continue",
+    bloom: DataFrame | None = None,
+    bloom_filter: BloomSeen | None = None,
+    metrics_full: bool = True,
+    n_frontier: int | None = None,
 ) -> RoundResult:
-    """Execute FROZEN SPEC steps 1-9 for round ``rnd``.
-
-    Returned DataFrames are lazy; the caller materializes them (checkpoint
-    commit). ``frontier`` must already be merged (unique canonical_url).
+    """Execute FROZEN SPEC steps 1-9 for round ``rnd`` and write the round's
+    outputs (crawl_order, articles, lineage, frontier_next) under out_dir.
 
     parse_impl: 'jvm' (whole-stage-codegen regexp/HOF expressions — default;
     html never leaves the JVM) or 'arrow' (pandas UDF, one Arrow round-trip
     per page). Both implement the same FROZEN RULES, byte-equal by test.
-    """
-    n_frontier = frontier.count()
 
-    # 1. dedup against seen (exact tier; bloom prefilter slots in here)
-    candidates = dedup_against_seen(frontier, seen).persist()
-    n_candidates = candidates.count()
+    metrics_full=False skips the metrics-only jobs (candidate/robots/new-url
+    counts become -1); results are unchanged.
+    """
+    if n_frontier is None:
+        n_frontier = frontier.count()
+
+    # 1. dedup against seen: exact tier, optionally bloom-prefiltered
+    # ('continue' mode), or the 'break' boundary variant (P9)
+    boundary_deferred = None
+    n_deferred = 0
+    extra_persisted: list[DataFrame] = []
+    if boundary_mode == "break":
+        candidates, boundary_deferred = boundary_break_split(frontier, seen)
+        candidates = candidates.persist()
+        boundary_deferred = boundary_deferred.persist()
+        n_deferred = boundary_deferred.count()
+    elif bloom is not None and bloom_filter is not None and seen is not None:
+        probed = bloom_filter.probe(frontier, bloom).persist()
+        extra_persisted.append(probed)
+        unseen = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        # exact anti-join backstop only for the bloom-positive minority
+        candidates = unseen.unionByName(dedup_against_seen(maybe, seen)).persist()
+    else:
+        candidates = dedup_against_seen(frontier, seen).persist()
+    n_candidates = candidates.count() if metrics_full else -1
 
     # 2. robots gate
     allowed, blocked = robots_filter(candidates, robots)
-    n_blocked = blocked.count()
+    n_blocked = 0 if robots is None else (blocked.count() if metrics_full else -1)
 
     # 3. politeness budget split
     fetched, carryover = politeness_split(allowed, politeness, default_budget)
     fetched = fetched.persist()
-    n_fetched = fetched.count()
-    n_carryover = n_candidates - n_blocked - n_fetched
 
-    # 4. deterministic global order (scalable rank, not a single window)
-    crawl_order = global_rank(fetched, SORT_KEYS, "rank", start=rank_offset).select(
+    # 4. deterministic global order (scalable rank, not a single window);
+    # the fetched count falls out of the offset computation for free
+    ranked, n_fetched = global_rank(
+        fetched, SORT_KEYS, "rank", start=rank_offset, return_total=True
+    )
+    crawl_order = ranked.select(
         "rank", F.col("canonical_url").alias("url"), F.lit(rnd).alias("round")
     )
+    crawl_order.write.mode("overwrite").parquet(os.path.join(out_dir, "crawl_order"))
+    n_carryover = (
+        n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
+    )
 
-    # 5. seen delta
+    # 5. seen delta (not written — identical to crawl_order's url column)
     seen_delta = fetched.select("canonical_url")
 
     # 6. fetch-simulate: equi-join on canonical_url (left: misses = dangling)
@@ -133,9 +172,6 @@ def run_round(
         )
         .persist()
     )
-    n_parsed = parsed.count()
-    n_miss = n_fetched - n_parsed
-
     articles = parsed.select(
         F.col("canonical_url").alias("url"),
         "content",
@@ -143,6 +179,13 @@ def run_round(
         F.lit(rnd).alias("round"),
         F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
     )
+    obs_articles = Observation()
+    articles.observe(obs_articles, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "articles"))
+    n_parsed = obs_articles.get["n"]
+    n_miss = n_fetched - n_parsed
+
     links = (
         parsed.select(
             F.col("canonical_url").alias("src_url"),
@@ -157,6 +200,7 @@ def run_round(
     lineage = links.select(
         F.lit(rnd).alias("round"), "src_url", "dst_url"
     ).dropDuplicates(["src_url", "dst_url"])
+    lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
 
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
     seen_now = (
@@ -174,32 +218,42 @@ def run_round(
         )
         .join(seen_now, on="canonical_url", how="left_anti")
     )
-    n_new = new_cands.select("canonical_url").distinct().count()
+    n_new = (
+        new_cands.select("canonical_url").distinct().count() if metrics_full else -1
+    )
 
-    # 9. merge next frontier
-    frontier_next = merge_frontier(
-        carryover.select(
-            "canonical_url", "url", "priority", "depth", "discovered_round"
-        ).unionByName(new_cands)
-    ).withColumn("host", host_of("canonical_url"))
+    # 9. merge next frontier (boundary-deferred rows re-enter unchanged)
+    nxt = carryover.select(
+        "canonical_url", "url", "priority", "depth", "discovered_round"
+    ).unionByName(new_cands)
+    if boundary_deferred is not None:
+        nxt = nxt.unionByName(
+            boundary_deferred.select(
+                "canonical_url", "url", "priority", "depth", "discovered_round"
+            )
+        )
+    frontier_next = merge_frontier(nxt).withColumn("host", host_of("canonical_url"))
+    obs_frontier = Observation()
+    frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "frontier_next"))
 
     metrics = {
         "round": rnd,
         "candidates": n_candidates,
-        "deduped": n_frontier - n_candidates,
+        "deduped": n_frontier - n_candidates - n_deferred if metrics_full else -1,
         "blocked_robots": n_blocked,
         "fetched": n_fetched,
-        "throttled": n_carryover,
+        "throttled": n_carryover + n_deferred if metrics_full else -1,
         "fetch_miss": n_miss,
         "parsed": n_parsed,
         "new_urls": n_new,
+        "frontier_next_count": obs_frontier.get["n"],
     }
     return RoundResult(
-        crawl_order=crawl_order,
         seen_delta=seen_delta,
-        articles=articles,
-        lineage=lineage,
-        frontier_next=frontier_next,
         metrics=metrics,
-        persisted=[candidates, fetched, parsed, links],
+        persisted=[candidates, fetched, parsed, links]
+        + ([boundary_deferred] if boundary_deferred is not None else [])
+        + extra_persisted,
     )

@@ -81,8 +81,19 @@ def crawl(
     robots: pd.DataFrame,
     max_rounds: int = 10,
     default_budget: int = 1_000_000,
+    boundary_mode: str = "continue",
+    initial_seen: set[str] | None = None,
 ) -> PyrefResult:
-    """Run the frozen spec serially. pages: url/warc_ts/html/text/lang."""
+    """Run the frozen spec serially. pages: url/warc_ts/html/text/lang.
+
+    boundary_mode (SURVEY.md §2.2 P9 — the reference's two dedup variants):
+    - 'continue': seen rows are dropped, scan continues (Twitter form,
+      twitter.py:145-147).
+    - 'break': per host, frontier rows are walked in sort_key order; the
+      first seen row STOPS that host's round — the seen row drops, unseen
+      rows ranked after it defer to the next round (Weibo/Instagram form,
+      weibo.py:311-313, instagram.py:65-67).
+    """
     page_by_canon: dict[str, dict] = {}
     for rec in pages.to_dict("records"):
         c = _canon(rec["url"])
@@ -108,7 +119,9 @@ def crawl(
         if c not in frontier or cand < frontier[c]:
             frontier[c] = cand
 
-    seen: set[str] = set()
+    # reference analog of pre-existing chain blocks (acquirer.py:21-22):
+    # state carried in from a previous scan
+    seen: set[str] = set(initial_seen or ())
     order_rows: list[tuple[int, str, int]] = []
     article_rows: list[dict] = []
     lineage_rows: list[tuple[int, str, str]] = []
@@ -119,9 +132,28 @@ def crawl(
         if not frontier:
             break
         n_frontier = len(frontier)
-        # 1. dedup
-        candidates = {c: v for c, v in frontier.items() if c not in seen}
-        deduped = n_frontier - len(candidates)
+        # 1. dedup ('continue' form) or boundary-break ('break' form)
+        boundary_deferred: dict[str, tuple[int, int, str, int]] = {}
+        if boundary_mode == "break":
+            by_host: dict[str, list[tuple[tuple[int, int, str], str]]] = {}
+            for c, (pri, dep, url, disc) in frontier.items():
+                by_host.setdefault(_host(c), []).append(((pri, dep, c), c))
+            candidates = {}
+            for h, rows in by_host.items():
+                rows.sort()
+                stopped = False
+                for _, c in rows:
+                    if stopped:
+                        if c not in seen:
+                            boundary_deferred[c] = frontier[c]
+                        continue
+                    if c in seen:
+                        stopped = True
+                        continue
+                    candidates[c] = frontier[c]
+        else:
+            candidates = {c: v for c, v in frontier.items() if c not in seen}
+        deduped = n_frontier - len(candidates) - len(boundary_deferred)
         # 2. robots
         allowed: dict[str, tuple[int, int, str, int]] = {}
         blocked = 0
@@ -188,6 +220,9 @@ def crawl(
             lineage_rows.append((rnd, src, dst))
         # 9. merge
         nxt = dict(carryover)
+        for c, cand in boundary_deferred.items():
+            if c not in nxt or cand < nxt[c]:
+                nxt[c] = cand
         for c, cand in new_cand.items():
             if c in seen:
                 continue
@@ -201,7 +236,7 @@ def crawl(
                 "deduped": deduped,
                 "blocked_robots": blocked,
                 "fetched": len(fetched),
-                "throttled": len(carryover),
+                "throttled": len(carryover) + len(boundary_deferred),
                 "fetch_miss": miss,
                 "parsed": parsed,
                 "new_urls": len(new_cand),

@@ -338,6 +338,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_fingerprint"] = doc_fingerprint
 
+    # dedup-simhash — 16-bit SimHash, all JVM/SQL expressions (md5 hex digits
+    # → ±1 lane sums → sign-packed int); full 64-bit version in
+    # operators/dedup.simhash64
+    def simhash16(spark, sf):
+        d = _t(spark, sf, "documents")
+        words = d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        digest = F.md5(F.col("w").cast("binary"))
+        lane_sums = []
+        for i in range(16):
+            nibble = F.conv(F.substring(digest, 1 + i // 4, 1), 16, 10).cast("int")
+            bit = F.shiftright(nibble, 3 - i % 4) % 2
+            lane_sums.append(F.sum(bit * 2 - 1).alias(f"l{i}"))
+        lanes = words.groupBy("doc_id").agg(*lane_sums)
+        packed = None
+        for i in range(16):
+            term = F.when(F.col(f"l{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            packed = term if packed is None else packed + term
+        return lanes.select("doc_id", packed.cast("long").alias("simhash16"))
+    q["simhash16"] = simhash16
+
+    # dedup-ngram-jaccard — exact word-3-gram Jaccard for pairs sharing a
+    # shingle (candidate-bucketed self-join, never a cross join)
+    def ngram_jaccard_pairs_sql(spark, sf):
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        shingles = (
+            d.filter(F.size(toks) >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                    )
+                ).alias("sh"),
+            )
+            .dropDuplicates(["doc_id", "sh"])
+        )
+        counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a, b = shingles.alias("a"), shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        return (
+            inter.join(ca, "id_a")
+            .join(cb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.05)
+        )
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs_sql
+
+    # envelope normalization (P1-P5): printf-built raw JSON → schema-on-read
+    # projection + type-classification ladder + epoch→timestamp conversion
+    def json_envelope_normalize(spark, sf):
+        ev = _t(spark, sf, "events")
+        rec = F.format_string(
+            '{"id": %d, "author_id": %d, "kind": "%s", "created_ts": %d}',
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.round(F.col("value") * 1000).cast("long"),
+        )
+        raw = ev.select(rec.alias("raw_json"))
+        j = F.col("raw_json")
+
+        def g(p):
+            return F.get_json_object(j, f"$.{p}")
+
+        kind = g("kind")
+        return raw.select(
+            g("id").cast("long").alias("id"),
+            g("author_id").cast("long").alias("author_id"),
+            F.when(kind == "purchase", F.lit("commerce"))
+            .when(kind.isin("login", "logout", "signup"), F.lit("session"))
+            .when(kind == "error", F.lit("fault"))
+            .otherwise(F.lit("activity"))
+            .alias("category"),
+            F.timestamp_seconds(g("created_ts").cast("long")).alias("time"),
+            j.alias("metadata_json"),
+        )
+    q["json_envelope_normalize"] = json_envelope_normalize
+
+    # embedding near-dup pairs (bounded id range; ids only — float-safe)
+    def embedding_near_dup_pairs(spark, sf):
+        e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+        a = e.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").cast("array<double>").alias("va"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").cast("array<double>").alias("vb"),
+        )
+
+        def dot(x, y):
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, r: p * r), F.lit(0.0), lambda acc, v: acc + v
+            )
+
+        sim = dot(F.col("va"), F.col("vb")) / (
+            F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") > 0.3)
+            .select("id_a", "id_b")
+        )
+    q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
+
     # similarity-search — brute-force cosine top-k (double-precision,
     # left-to-right fold on both engines)
     def ann_cosine_topk(spark, sf):
@@ -374,6 +502,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     dot = (
         "list_sum(list_apply(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    )
+    # 16-bit simhash lanes, generated to mirror the Spark expression tree
+    _lane = (
+        "SUM((((strpos('0123456789abcdef', substr(d, {pos}, 1)) - 1) >> {sh}) & 1)"
+        " * 2 - 1) AS l{i}"
+    )
+    _lanes_sql = ", ".join(
+        _lane.format(pos=1 + i // 4, sh=3 - i % 4, i=i) for i in range(16)
+    )
+    _pack_sql = " + ".join(
+        f"(CASE WHEN l{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
     )
     return {
         "seen_anti_join": """
@@ -497,6 +636,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+        "simhash16": f"""
+            WITH words AS (
+              SELECT doc_id, md5(unnest(string_split(text, ' '))) AS d FROM documents),
+            lanes AS (
+              SELECT doc_id, {_lanes_sql} FROM words GROUP BY doc_id)
+            SELECT doc_id, CAST({_pack_sql} AS BIGINT) AS simhash16 FROM lanes
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ix AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+            FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
+        """,
+        "json_envelope_normalize": """
+            WITH raw AS (
+              SELECT printf('{"id": %d, "author_id": %d, "kind": "%s", "created_ts": %d}',
+                            event_id, user_id, event_type,
+                            CAST(round(value * 1000) AS BIGINT)) AS raw_json
+              FROM events)
+            SELECT CAST(json_extract_string(raw_json, '$.id') AS BIGINT) AS id,
+                   CAST(json_extract_string(raw_json, '$.author_id') AS BIGINT) AS author_id,
+                   CASE WHEN json_extract_string(raw_json, '$.kind') = 'purchase' THEN 'commerce'
+                        WHEN json_extract_string(raw_json, '$.kind') IN ('login','logout','signup') THEN 'session'
+                        WHEN json_extract_string(raw_json, '$.kind') = 'error' THEN 'fault'
+                        ELSE 'activity' END AS category,
+                   make_timestamp(CAST(json_extract_string(raw_json, '$.created_ts') AS BIGINT) * 1000000) AS time,
+                   raw_json AS metadata_json
+            FROM raw
+        """,
+        "embedding_near_dup_pairs": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {dot.format(a='a.v', b='b.v')}
+                  / (sqrt({dot.format(a='a.v', b='a.v')}) * sqrt({dot.format(a='b.v', b='b.v')})) > 0.3
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

@@ -56,8 +56,15 @@ def _url(id_col: Column) -> Column:
     return F.concat(F.lit("https://"), _host(id_col), _path(id_col))
 
 
-def synth_pages(spark: SparkSession, n: int, dangle_frac: float = 0.05) -> DataFrame:
-    """The ``pages`` table per BASELINE.json input_hint."""
+def synth_pages(
+    spark: SparkSession, n: int, dangle_frac: float = 0.05, words_mult: int = 1
+) -> DataFrame:
+    """The ``pages`` table per BASELINE.json input_hint.
+
+    words_mult scales body length (default 1 → 5-30 words, the golden-fixture
+    size; bench uses larger values so page size approximates real web pages
+    and parse work dominates fixed costs).
+    """
     n_target_space = int(n * (1 + dangle_frac)) or 1
     df = spark.range(n).withColumn("id", F.col("id").cast("long"))
     idc = F.col("id")
@@ -70,7 +77,7 @@ def synth_pages(spark: SparkSession, n: int, dangle_frac: float = 0.05) -> DataF
     )  # array<array<string>> indexed by lang_idx
     my_words = F.element_at(words_arr, lang_idx + 1)
 
-    n_words = (_h(idc, 3, 26) + 5).cast("int")
+    n_words = ((_h(idc, 3, 26) + 5) * words_mult).cast("int")
     body = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n_words),

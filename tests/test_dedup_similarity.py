@@ -1,0 +1,146 @@
+"""Training-data dedup + similarity operators vs brute-force pandas truth."""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from colymer_acquirers_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from colymer_acquirers_spark.operators.similarity import (
+    ann_cosine_topk_lsh,
+    cosine_topk,
+    lsh_bucket,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different text about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "spark engines process completely different text"),
+    (5, "one more unrelated document with unique words here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_simhash(text: str) -> int:
+    lanes = [0] * 64
+    for w in text.split(" "):
+        d = hashlib.md5(w.encode()).hexdigest()
+        for i in range(64):
+            nib = int(d[i // 4], 16)
+            bit = (nib >> (3 - i % 4)) & 1
+            lanes[i] += 1 if bit else -1
+    return sum((1 << i) for i in range(64) if lanes[i] > 0)
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(
+        docs.withColumn("fp", F.md5(F.col("text").cast("binary"))),
+        ["fp"],
+        ["doc_id"],
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 3 not in kept  # keep-min wins
+    assert len(kept) == 5
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sigs = {r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
+            for r in minhash_signatures(docs, "doc_id", "text", 8).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    assert shared >= 4
+
+
+def test_minhash_lsh_finds_dups(docs):
+    # 8 bands × 2 rows: P(collide) ≈ 1-(1-j²)⁸ ≈ 0.9995 at j ≈ 0.78
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", 16, 8).collect()}
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs  # near-dup collides in ≥1 band w.h.p.
+    assert (0, 2) not in pairs
+
+
+def test_simhash_matches_python(docs):
+    got = {r["doc_id"]: r["simhash"] for r in
+           simhash64(docs, "doc_id", "text").collect()}
+    for doc_id, text in DOCS:
+        expected = _py_simhash(text)
+        # python int is unsigned 64; spark packs into signed long
+        assert got[doc_id] & 0xFFFFFFFFFFFFFFFF == expected, doc_id
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs.get((0, 3)) == 0
+    assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_exact(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.01).collect()}
+    for (ia, ta), (ib, tb) in combinations(DOCS, 2):
+        expected = _py_jaccard(ta, tb)
+        if expected >= 0.01:
+            assert abs(got[(ia, ib)] - expected) < 1e-12, (ia, ib)
+        else:
+            assert (ia, ib) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 16).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    return vecs, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    vecs, df = vectors
+    q = vecs[0]
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = list(np.argsort(-sims)[:10])
+    got = [r["vec_id"] for r in cosine_topk(df, list(q), 10).collect()]
+    assert got == expected
+
+
+def test_lsh_bucket_deterministic_and_ann_recall(vectors):
+    vecs, df = vectors
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(df, 16, 8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(df, 16, 8).collect()}
+    assert b1 == b2
+    q = vecs[0]
+    got = [r["vec_id"] for r in ann_cosine_topk_lsh(df, list(q), 16, 10, 8).collect()]
+    assert got[0] == 0  # the query vector itself is its own nearest
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exact = set(np.argsort(-sims)[:10])
+    # approximate: expect meaningful overlap with the exact top-10
+    assert len(set(got) & exact) >= 4
