@@ -31,10 +31,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(_q.queries())
-    # rows-only (non-SQL-expressible): the full round loop with UDF parse
+    # rows-only (non-SQL-expressible) ops; their strong oracles live in
+    # tests/ (pyref equivalence, pure-Python truth comparisons)
     out["flagship_crawl_articles"] = lambda spark, sf: _q.flagship_crawl(
         spark, sf, max_rounds=3
     )
+
+    def _docs(spark, sf):
+        return spark.read.parquet(f"{sf}/documents.parquet")
+
+    def minhash_lsh_candidate_pairs(spark, sf):
+        from colymer_acquirers_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", 16, 8)
+    out["minhash_lsh_candidate_pairs"] = minhash_lsh_candidate_pairs
+
+    def simhash_near_dup_pairs(spark, sf):
+        from colymer_acquirers_spark.operators.dedup import simhash_near_dups
+
+        return simhash_near_dups(_docs(spark, sf), "doc_id", "text", max_hamming=12)
+    out["simhash_near_dup_pairs"] = simhash_near_dup_pairs
+
+    def ann_lsh_topk(spark, sf):
+        from colymer_acquirers_spark.operators.similarity import ann_cosine_topk_lsh
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        return ann_cosine_topk_lsh(e, qv, dim=len(qv), k=10, n_planes=8)
+    out["ann_lsh_topk"] = ann_lsh_topk
+
+    def streaming_dedup_articles(spark, sf):
+        import tempfile
+
+        from colymer_acquirers_spark.streaming.stream_crawl import (
+            stream_dedup_articles,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_q_")
+        pages_dir = f"{base}/pages"
+        _q.pages_from_documents(spark, sf).write.mode("overwrite").parquet(pages_dir)
+        stream_dedup_articles(spark, pages_dir, f"{base}/ckpt", f"{base}/out")
+        return spark.read.parquet(f"{base}/out")
+    out["streaming_dedup_articles"] = streaming_dedup_articles
     return out
 
 
