@@ -73,6 +73,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_dedup_articles(spark, pages_dir, f"{base}/ckpt", f"{base}/out")
         return spark.read.parquet(f"{base}/out")
     out["streaming_dedup_articles"] = streaming_dedup_articles
+
+    def multimodal_image_features(spark, sf):
+        from colymer_acquirers_spark.operators.multimodal import (
+            extract_image_features,
+            synth_media,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return extract_image_features(synth_media(spark, docs.count()))
+    out["multimodal_image_features"] = multimodal_image_features
     return out
 
 

@@ -1,0 +1,173 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Reference analog: the attachment descriptor built in 7 places
+(``colymer/acquirers/weibo.py:33-47,62-81,96-111,114-130,133-149``,
+``instagram.py:15-42``, ``twitter.py:16-60``) — media is never decoded by
+the reference either; it carries bytes + metadata (width/height/duration/
+bitrate). Here the Spark-side plumbing is real — schema, partitioning,
+Arrow-batched ``mapInPandas`` signatures, batch shapes — while the actual
+codec work is STUBBED: this container has no image/audio libraries, so
+``decode=`real``` raises ``NotImplementedError`` and the default is a
+clearly-marked DETERMINISTIC FAKE (byte-stat features) that exercises the
+identical dataflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_byte", T.DoubleType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAMES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from md5 of the
+    id (pure column exprs — distributed, reproducible)."""
+    idc = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        F.pmod(F.xxhash64(idc, F.lit(1)), F.lit(3)).cast("int") + 1,
+    )
+    payload = F.encode(
+        F.concat(*[F.md5(F.concat(idc.cast("string"), F.lit(f"#{i}")).cast("binary")) for i in range(8)]),
+        "utf-8",
+    )
+    meta = F.struct(
+        (F.pmod(F.xxhash64(idc, F.lit(2)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(idc, F.lit(3)), F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64(idc, F.lit(4)), F.lit(600000))).cast("long").alias("duration_ms"),
+        F.lit(44100).alias("sample_rate"),
+        F.element_at(
+            F.array(F.lit("jpeg"), F.lit("png"), F.lit("opus"), F.lit("h264")),
+            F.pmod(F.xxhash64(idc, F.lit(5)), F.lit(4)).cast("int") + 1,
+        ).alias("format"),
+    )
+    return spark.range(n).select(
+        idc.alias("media_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def _fake_image_features(batch: pd.DataFrame) -> pd.DataFrame:
+    """DETERMINISTIC FAKE decode: byte statistics instead of pixel decode.
+
+    Real implementation would decode `payload` with PIL/libvips here; the
+    rest of the pipeline (schema, batching, downstream joins) is identical.
+    """
+    payloads = batch["payload"]
+    n_bytes = payloads.map(len).astype("int64")
+    sha = payloads.map(lambda b: hashlib.sha256(b).hexdigest())
+    mean_byte = payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0)
+    feature = payloads.map(
+        lambda b: [float(x) / 255.0 for x in hashlib.sha256(b).digest()[:16]]
+    )
+    return pd.DataFrame(
+        {
+            "media_id": batch["media_id"],
+            "n_bytes": n_bytes,
+            "sha256": sha,
+            "width": batch["meta"].map(lambda m: m["width"] if m is not None else None),
+            "height": batch["meta"].map(lambda m: m["height"] if m is not None else None),
+            "mean_byte": mean_byte,
+            "feature": feature,
+        }
+    )
+
+
+def extract_image_features(
+    media: DataFrame, decode: str = "fake", batch_hint: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over image rows (mapInPandas).
+
+    decode='real' is a stub: raises NotImplementedError (no codec libs in
+    this container). decode='fake' runs the deterministic byte-stat fake
+    through the production dataflow.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips (not in this container); "
+            "use decode='fake' — the Spark plumbing is identical"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield _fake_image_features(batch)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .repartition(F.col("media_id"))
+        .mapInPandas(run, IMAGE_FEATURES)
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 10_000, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling plumbing for video rows: one output row per sampled
+    timestamp. The frame payload is a STUB slice of the source bytes (a real
+    implementation seeks/decodes with ffmpeg); row shape and partitioning are
+    production-real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for _, row in batch.iterrows():
+                dur = row["meta"]["duration_ms"] if row["meta"] is not None else 0
+                n = min(max_frames, max(int(dur // every_ms), 1))
+                payload = row["payload"]
+                step = max(len(payload) // max(n, 1), 1)
+                for i in range(n):
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(payload[i * step : i * step + 16])
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .repartition(F.col("media_id"))
+        .mapInPandas(run, FRAMES)
+    )

@@ -176,6 +176,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["date_bucket_agg"] = date_bucket_agg
 
+    # F4 — the reference's exact date format roundtrip
+    # ('%a %b %d %H:%M:%S %z %Y', weibo.py:225, twitter.py:97): format the
+    # event ts into the platform string, then parse it back
+    def date_parse_roundtrip(spark, sf):
+        ev = _t(spark, sf, "events")
+        s = F.date_format(F.col("ts"), "EEE MMM dd HH:mm:ss Z yyyy")
+        parsed = F.to_timestamp(s, "EEE MMM dd HH:mm:ss Z yyyy")
+        return ev.select("event_id", s.alias("platform_ts"), parsed.alias("parsed_ts"))
+    q["date_parse_roundtrip"] = date_parse_roundtrip
+
     # T1/T2 — deterministic top-k (newest-first iteration, page-size limit)
     def sort_topk(spark, sf):
         o = _t(spark, sf, "orders")
@@ -562,6 +572,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "date_parse_roundtrip": """
+            SELECT event_id,
+                   strftime(ts, '%a %b %d %H:%M:%S +0000 %Y') AS platform_ts,
+                   strptime(strftime(ts, '%a %b %d %H:%M:%S +0000 %Y'),
+                            '%a %b %d %H:%M:%S %z %Y')::TIMESTAMP AS parsed_ts
+            FROM events
         """,
         "sort_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
