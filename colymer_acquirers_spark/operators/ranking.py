@@ -55,6 +55,9 @@ def global_rank(
         offsets[pid] = acc
         acc += counts[pid]
     total = acc - start
+    global_rank.last_partition_counts = {  # per-partition metrics, free
+        pid: counts[pid] for pid in sorted(counts)
+    }
     if not offsets:
         out = df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
         return (out, 0) if return_total else out

@@ -249,6 +249,12 @@ def run_round(
         "parsed": n_parsed,
         "new_urls": n_new,
         "frontier_next_count": obs_frontier.get["n"],
+        # per-partition fetch counts (north_rule: per-partition metrics),
+        # recorded from the rank-offset pass at zero extra cost
+        "fetched_by_partition": {
+            str(k): v
+            for k, v in getattr(global_rank, "last_partition_counts", {}).items()
+        },
     }
     return RoundResult(
         seen_delta=seen_delta,

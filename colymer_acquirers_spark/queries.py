@@ -182,7 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def date_parse_roundtrip(spark, sf):
         ev = _t(spark, sf, "events")
         s = F.date_format(F.col("ts"), "EEE MMM dd HH:mm:ss Z yyyy")
-        parsed = F.to_timestamp(s, "EEE MMM dd HH:mm:ss Z yyyy")
+        # Spark 3+'s parser forbids day-of-week fields when parsing; the
+        # weekday is redundant, so strip it (reference strptime validates it,
+        # the parsed instant is identical)
+        parsed = F.to_timestamp(F.substring(s, 5, 100), "MMM dd HH:mm:ss Z yyyy")
         return ev.select("event_id", s.alias("platform_ts"), parsed.alias("parsed_ts"))
     q["date_parse_roundtrip"] = date_parse_roundtrip
 

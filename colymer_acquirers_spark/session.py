@@ -30,6 +30,10 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None and os.environ.get("SPARK_GRAFT_SHUFFLE"):
+        # pin the partition count across parallelism levels (controlled
+        # scaling experiments: identical plans, only core count varies)
+        shuffle_partitions = int(os.environ["SPARK_GRAFT_SHUFFLE"])
     if shuffle_partitions is None:
         # local[N] -> N; a real cluster master string keeps 2x cores heuristic
         try:

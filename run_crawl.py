@@ -40,6 +40,12 @@ def main() -> int:
     ap.add_argument("--default-budget", type=int, default=1_000_000)
     ap.add_argument("--master", default=None, help="override spark master")
     ap.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    ap.add_argument("--boundary-mode", choices=["continue", "break"], default="continue")
+    ap.add_argument("--use-bloom", action="store_true",
+                    help="bloom-prefilter the seen-set anti-join")
+    ap.add_argument("--parse-impl", choices=["jvm", "arrow"], default="jvm")
+    ap.add_argument("--fast-metrics", action="store_true",
+                    help="skip metrics-only count jobs")
     args = ap.parse_args()
 
     spark = get_spark(app_name="run_crawl", master=args.master)
@@ -62,7 +68,9 @@ def main() -> int:
     summary = run_crawl(
         spark, pages, seeds, politeness, robots, args.workdir,
         max_rounds=args.rounds, default_budget=args.default_budget,
-        resume=not args.fresh,
+        resume=not args.fresh, boundary_mode=args.boundary_mode,
+        use_bloom=args.use_bloom, parse_impl=args.parse_impl,
+        metrics_full=not args.fast_metrics,
     )
     print(json.dumps(summary, default=int))
     return 0

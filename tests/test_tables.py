@@ -1,0 +1,30 @@
+"""Iceberg-shaped table IO fallback: atomic commit marker semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from colymer_acquirers_spark.sources.tables import read_table, write_table
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    write_table(df, path, mode="overwrite")
+    got = read_table(spark, path)
+    assert got.count() == 100
+    assert {r["id"]: r["v"] for r in got.collect()}[7] == 14
+
+
+def test_uncommitted_refused(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    spark.range(5).write.parquet(path)  # raw write, no commit marker
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path)
+
+
+def test_append_keeps_commit(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    write_table(spark.range(10), path, mode="overwrite")
+    write_table(spark.range(10, 20), path, mode="append")
+    assert read_table(spark, path).count() == 20
