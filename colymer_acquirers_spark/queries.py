@@ -176,6 +176,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["date_bucket_agg"] = date_bucket_agg
 
+    # P6 + A1 — pinned-item exclusion from ordering keys: top/bottom ids per
+    # chain computed over non-pinned rows only, pinned rows still counted
+    # (reference: isTop skip for top_id/bottom_id, weibo.py:310-318)
+    def pinned_top_bottom_ids(spark, sf):
+        ev = _t(spark, sf, "events")
+        pinned = F.col("event_type") == "signup"
+        return ev.groupBy("user_id").agg(
+            F.max(F.when(~pinned, F.col("event_id"))).alias("top_id"),
+            F.min(F.when(~pinned, F.col("event_id"))).alias("bottom_id"),
+            F.sum(F.when(pinned, 1).otherwise(0)).alias("n_pinned"),
+        )
+    q["pinned_top_bottom_ids"] = pinned_top_bottom_ids
+
     # F4 — the reference's exact date format roundtrip
     # ('%a %b %d %H:%M:%S %z %Y', weibo.py:225, twitter.py:97): format the
     # event ts into the platform string, then parse it back
@@ -575,6 +588,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "pinned_top_bottom_ids": """
+            SELECT user_id,
+                   MAX(CASE WHEN event_type != 'signup' THEN event_id END) AS top_id,
+                   MIN(CASE WHEN event_type != 'signup' THEN event_id END) AS bottom_id,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_pinned
+            FROM events GROUP BY user_id
         """,
         "date_parse_roundtrip": """
             SELECT event_id,
