@@ -53,6 +53,9 @@ _HREF_RE = re.compile(
     r"""(?is)<a\b[^>]*?\bhref""" + _WS_CLASS + r"*=" + _WS_CLASS + r"""*(?:"([^"]*)"|'([^']*)')"""
 )
 _BASE_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)")
+# FROZEN TITLE RULE: first <title> body, entity-decoded, ws-collapsed,
+# stripped; no <title> → empty string (reference: article.title field)
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title" + _WS_CLASS + r"*>"
 
 
 def _decode_series(s: pd.Series) -> pd.Series:
@@ -83,6 +86,17 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = s.str.replace(_STYLE_RE, " ", regex=True)
     s = s.str.replace(_COMMENT_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = _decode_series(s)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.where(~na, None)
+
+
+def extract_title_series(html: pd.Series) -> pd.Series:
+    """Vectorized frozen title extraction (first <title> body → decoded,
+    collapsed, stripped; missing → '')."""
+    s = _to_str_series(html).astype("object")
+    na = s.isna()
+    s = s.fillna("").str.extract(_TITLE_RE)[0].fillna("")
     s = _decode_series(s)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s.where(~na, None)
@@ -167,6 +181,7 @@ def _extract_links_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
 _PARSE_SCHEMA = T.StructType(
     [
         T.StructField("content", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
         T.StructField("links", T.ArrayType(T.StringType()), True),
     ]
 )
@@ -177,6 +192,7 @@ def _parse_page_udf(html: pd.Series, base_url: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "content": extract_text_series(html),
+            "title": extract_title_series(html),
             "links": extract_links_series(html, base_url),
         }
     )

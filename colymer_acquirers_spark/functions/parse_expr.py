@@ -23,6 +23,7 @@ from colymer_acquirers_spark.functions.parse import (
     _SCRIPT_RE,
     _STYLE_RE,
     _TAG_RE,
+    _TITLE_RE,
     _WS_CLASS,
     _WS_RE,
 )
@@ -58,6 +59,24 @@ def extract_text_expr(html: Column | str, is_binary: bool = True) -> Column:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     s = F.regexp_replace(s, _WS_RE, " ")
     return F.trim(s)
+
+
+def extract_title_expr(html: Column | str, is_binary: bool = True) -> Column:
+    """FROZEN TITLE RULE as JVM expressions (parity: extract_title_series)."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    t = F.regexp_extract(s, _TITLE_RE, 1)
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, _WS_RE, " "))
 
 
 def _normalize_path_expr(p: Column) -> Column:
@@ -141,5 +160,6 @@ def parse_page_expr(
     b = F.col(base_url) if isinstance(base_url, str) else base_url
     return F.struct(
         extract_text_expr(h, is_binary).alias("content"),
+        extract_title_expr(h, is_binary).alias("title"),
         extract_links_expr(h, b, is_binary).alias("links"),
     )

@@ -168,12 +168,14 @@ def run_round(
             "depth",
             "lang",
             F.col("p.content").alias("content"),
+            F.col("p.title").alias("title"),
             F.col("p.links").alias("links"),
         )
         .persist()
     )
     articles = parsed.select(
         F.col("canonical_url").alias("url"),
+        "title",
         "content",
         "lang",
         F.lit(rnd).alias("round"),

@@ -48,7 +48,11 @@ from colymer_acquirers_spark.functions.canonical import (
     canonicalize_url_series,
     host_of_series,
 )
-from colymer_acquirers_spark.functions.parse import extract_links_one, extract_text_series
+from colymer_acquirers_spark.functions.parse import (
+    extract_links_one,
+    extract_text_series,
+    extract_title_series,
+)
 
 
 def _canon(url: str) -> str | None:
@@ -195,9 +199,11 @@ def crawl(
                 continue
             parsed += 1
             content = extract_text_series(pd.Series([page["html"]]))[0]
+            title = extract_title_series(pd.Series([page["html"]]))[0]
             article_rows.append(
                 {
                     "url": c,
+                    "title": title,
                     "content": content,
                     "lang": page["lang"],
                     "round": rnd,
@@ -247,7 +253,8 @@ def crawl(
         crawl_order=pd.DataFrame(order_rows, columns=["rank", "url", "round"]),
         seen=seen,
         articles=pd.DataFrame(
-            article_rows, columns=["url", "content", "lang", "round", "text_sha256"]
+            article_rows,
+            columns=["url", "title", "content", "lang", "round", "text_sha256"],
         ),
         lineage=pd.DataFrame(lineage_rows, columns=["round", "src_url", "dst_url"]),
         metrics=metrics,

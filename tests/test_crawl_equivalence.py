@@ -89,7 +89,10 @@ def test_articles_byte_identical(spark, golden, engine_run):
     assert list(eng["url"]) == list(ref["url"])
     assert list(eng["text_sha256"]) == list(ref["text_sha256"])
     assert list(eng["content"]) == list(ref["content"])
+    assert list(eng["title"]) == list(ref["title"])
     assert list(eng["round"]) == list(ref["round"])
+    # titles come from the synth template — spot-check ground truth
+    assert all(t.startswith("Page ") for t in eng["title"])
 
 
 def test_extracted_text_matches_ground_truth(spark, web, golden):

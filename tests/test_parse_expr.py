@@ -10,10 +10,12 @@ from pyspark.sql import functions as F
 from colymer_acquirers_spark.functions.parse import (
     extract_links_one,
     extract_text_series,
+    extract_title_series,
 )
 from colymer_acquirers_spark.functions.parse_expr import (
     extract_links_expr,
     extract_text_expr,
+    extract_title_expr,
 )
 from colymer_acquirers_spark.sources.synth import synth_pages
 
@@ -45,16 +47,19 @@ def test_adversarial(spark):
         {"html": ADVERSARIAL_HTML, "url": [BASE] * len(ADVERSARIAL_HTML)}
     )
     exp_text = extract_text_series(pdf["html"])
+    exp_title = extract_title_series(pdf["html"])
     exp_links = [extract_links_one(h, BASE) for h in ADVERSARIAL_HTML]
     df = spark.createDataFrame(pdf).select(
         "html",
         extract_text_expr("html", is_binary=False).alias("t"),
+        extract_title_expr("html", is_binary=False).alias("ti"),
         extract_links_expr("html", "url", is_binary=False).alias("l"),
     )
-    got = {r["html"]: (r["t"], r["l"]) for r in df.collect()}
-    for h, et, el in zip(ADVERSARIAL_HTML, exp_text, exp_links):
-        gt, gl = got[h]
+    got = {r["html"]: (r["t"], r["ti"], r["l"]) for r in df.collect()}
+    for h, et, eti, el in zip(ADVERSARIAL_HTML, exp_text, exp_title, exp_links):
+        gt, gti, gl = got[h]
         assert gt == et, (h, gt, et)
+        assert gti == eti, (h, gti, eti)
         assert list(gl) == el, (h, list(gl), el)
 
 
