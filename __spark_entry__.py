@@ -80,8 +80,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth_media,
         )
 
+        from pyspark.sql import functions as F
+
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return extract_image_features(synth_media(spark, docs.count()))
+        feats = extract_image_features(synth_media(spark, docs.count()))
+        # Driver-safe projection: the `feature` array<float> column breaks the
+        # driver's pandas canonicalizer (unhashable list); hash it to a scalar
+        # here. The array column itself stays covered by tests/test_multimodal*.
+        return feats.withColumn(
+            "feature_md5", F.md5(F.to_json(F.col("feature")))
+        ).drop("feature")
     out["multimodal_image_features"] = multimodal_image_features
     return out
 

@@ -125,8 +125,9 @@ def run_bench() -> dict:
     total = round(sum(results.values()), 3)
     return {
         "metric": "URLs scheduled+parsed/sec on a synthetic Common-Crawl frontier",
-        "value": total,
-        "unit": "sec",
+        "value": round(crawl_urls / crawl_wall, 1) if crawl_wall else 0,
+        "unit": "urls/sec",
+        "suite_sec": total,
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl_urls": crawl_urls,

@@ -593,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    MAX(CASE WHEN event_type != 'signup' THEN event_id END) AS top_id,
                    MIN(CASE WHEN event_type != 'signup' THEN event_id END) AS bottom_id,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_pinned
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_pinned
             FROM events GROUP BY user_id
         """,
         "date_parse_roundtrip": """
