@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_near_dup_pairs(spark, sf):
         from colymer_acquirers_spark.operators.dedup import simhash_near_dups
 
-        return simhash_near_dups(_docs(spark, sf), "doc_id", "text", max_hamming=12)
+        # h=3 → 4 16-bit chunks (pigeonhole-complete recall); larger h
+        # narrows chunk keys and bloats buckets — see simhash_near_dups doc
+        return simhash_near_dups(_docs(spark, sf), "doc_id", "text", max_hamming=3)
     out["simhash_near_dup_pairs"] = simhash_near_dup_pairs
 
     def ann_lsh_topk(spark, sf):

@@ -19,7 +19,11 @@ construction):
 
 FROZEN LINK RULE:
  - hrefs from ``<a ... href="...">`` / ``<a ... href='...'`` (ci)
- - skip empty, ``#...``, ``javascript:``, ``mailto:``, ``data:``
+ - skip empty, ``#...``, and any href with an explicit scheme prefix
+   (``[A-Za-z][A-Za-z0-9+.-]*:``) other than http/https — drops
+   ``javascript:``, ``mailto:``, ``data:``, ``ftp://``, ``tel:``, …
+   (a relative path segment containing ``:`` must be written ``./seg`` per
+   RFC 3986 §4.2; bare ``seg:rest`` parses as a scheme and is dropped)
  - absolutize: scheme-relative ``//h/p`` → base scheme; root-relative
    ``/p`` → base origin; other relative → resolved against base directory
    with ``.``/``..`` segment normalization
@@ -53,6 +57,10 @@ _HREF_RE = re.compile(
     r"""(?is)<a\b[^>]*?\bhref""" + _WS_CLASS + r"*=" + _WS_CLASS + r"""*(?:"([^"]*)"|'([^']*)')"""
 )
 _BASE_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)")
+# explicit-scheme detector (RFC 3986 scheme grammar); anything matching that
+# is not http(s) is dropped by the FROZEN LINK RULE
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+_SCHEME_RLIKE = r"^[A-Za-z][A-Za-z0-9+.-]*:"  # JVM mirror (parse_expr)
 # FROZEN TITLE RULE: first <title> body, entity-decoded, ws-collapsed,
 # stripped; no <title> → empty string (reference: article.title field)
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title" + _WS_CLASS + r"*>"
@@ -119,13 +127,10 @@ def _join_url(base_scheme: str, base_host: str, base_dir: str, href: str) -> str
     h = href.strip(WS_CHARS)
     if not h or h.startswith("#"):
         return None
-    low = h[:11].lower()
-    if low.startswith(("javascript:", "mailto:", "data:")):
-        return None
     if h.lower().startswith(("http://", "https://")):
         return h
-    if "://" in h.split("/", 1)[0].split("?", 1)[0]:
-        return None  # other schemes
+    if _SCHEME_RE.match(h):
+        return None  # non-http(s) scheme: javascript:, mailto:, ftp://, tel:, …
     if h.startswith("//"):
         return f"{base_scheme}:{h}"
     if h.startswith("/"):

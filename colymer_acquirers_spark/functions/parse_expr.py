@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from colymer_acquirers_spark.functions.parse import (
     _COMMENT_RE,
+    _SCHEME_RLIKE,
     _SCRIPT_RE,
     _STYLE_RE,
     _TAG_RE,
@@ -128,18 +129,12 @@ def extract_links_expr(
         ).otherwise(F.lit(""))
         joined = _normalize_path_expr(F.concat(base_dir, path_part))
         rel = F.concat(scheme, F.lit("://"), host, joined, q_tail)
-        # first '/'-segment then first '?'-segment, as in _join_url
-        first_seg = F.element_at(
-            F.split(F.element_at(F.split(t, "/", 2), 1), "[?]", 2), 1
-        )
         return (
             F.when((t == "") | t.startswith("#"), F.lit(None).cast("string"))
-            .when(
-                F.substring(tl, 1, 11).rlike("^(javascript:|mailto:|data:)"),
-                F.lit(None).cast("string"),
-            )
             .when(tl.startswith("http://") | tl.startswith("https://"), t)
-            .when(F.contains(first_seg, F.lit("://")), F.lit(None).cast("string"))
+            # any other explicit scheme (javascript:, mailto:, ftp://, tel:,
+            # …) is dropped — mirrors _join_url's _SCHEME_RE guard
+            .when(t.rlike(_SCHEME_RLIKE), F.lit(None).cast("string"))
             .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
             .when(t.startswith("/"), F.concat(scheme, F.lit("://"), host, t))
             .when(nofrag == "", F.lit(None).cast("string"))

@@ -124,22 +124,51 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance, bucketed by bit chunks.
 
-    Pigeonhole: at hamming ≤ 3 over 4 chunks, at least one chunk matches
-    exactly → candidates = equi-join per chunk, verified by popcount.
+    Pigeonhole recall guarantee: two hashes at hamming ≤ h differ in ≤ h
+    chunks, so with n_chunks ≥ h+1 at least one chunk matches exactly →
+    candidates = equi-join per chunk, verified by popcount. n_chunks
+    defaults to max_hamming+1 (the minimum that guarantees full recall);
+    passing a smaller explicit value raises — a silent recall hole at
+    hamming > n_chunks-1 is exactly the bug this guard prevents. Note the
+    scale tradeoff: more chunks → narrower chunk keys → bigger buckets;
+    beyond h≈7 (8-bit chunks) prefer a lower threshold or MinHash LSH.
     """
-    sh = simhash64(df, id_col, text_col)
-    chunks = [
-        F.struct(
-            F.lit(c).alias("chunk_idx"),
-            (F.shiftrightunsigned(F.col("simhash"), 16 * c) % (1 << 16)).alias(
-                "chunk_key"
-            ),
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"n_chunks={n_chunks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need n_chunks >= max_hamming+1"
         )
-        for c in range(4)
+    if n_chunks > 64:
+        raise ValueError("n_chunks > 64 over a 64-bit simhash")
+    sh = simhash64(df, id_col, text_col)
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+
+    def _chunk_key(c: int):
+        if widths[c] == 64:  # n_chunks=1 (max_hamming=0): whole-hash equality
+            return F.col("simhash")
+        # pmod, not %: the offset-0 chunk sees the raw (possibly negative)
+        # int64; Spark's % keeps the dividend sign, which would give two
+        # hashes with equal low bits different keys
+        return F.pmod(
+            F.shiftrightunsigned(F.col("simhash"), offsets[c]),
+            F.lit(1 << widths[c]).cast("long"),
+        )
+
+    chunks = [
+        F.struct(F.lit(c).alias("chunk_idx"), _chunk_key(c).alias("chunk_key"))
+        for c in range(n_chunks)
     ]
     keyed = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("ck")

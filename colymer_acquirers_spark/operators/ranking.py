@@ -11,11 +11,27 @@ parallelism — the property the determinism tests pin down.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__rank_pid"
 _RN = "__rank_rn"
+
+
+@dataclass
+class RankInfo:
+    """Side-channel results of a ``global_rank`` pass.
+
+    ``persisted`` is the cached range-partitioned intermediate: the offset
+    map is keyed by *this* materialization's partition boundaries, so the
+    caller must keep it cached until after its terminal action, then
+    unpersist (run_round appends it to RoundResult.persisted)."""
+
+    total: int
+    partition_counts: dict[int, int]
+    persisted: DataFrame | None
 
 
 def global_rank(
@@ -24,7 +40,7 @@ def global_rank(
     rank_col: str = "rank",
     start: int = 0,
     num_partitions: int | None = None,
-    return_total: bool = False,
+    return_info: bool = False,
 ):
     """Attach ``rank_col`` = start, start+1, ... in (keys) ascending order.
 
@@ -32,8 +48,10 @@ def global_rank(
     parallelism-independent ranks; the crawl sort_key includes the unique
     canonical_url, satisfying this.
 
-    return_total=True → (df, total_rows): the row count falls out of the
-    offset computation for free (no extra job for callers needing it).
+    return_info=True → (df, RankInfo): row total + per-partition counts fall
+    out of the offset computation for free (no extra job), and the cached
+    intermediate is handed to the caller for lifecycle management instead of
+    leaking one persisted DataFrame per call.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -55,12 +73,16 @@ def global_rank(
         offsets[pid] = acc
         acc += counts[pid]
     total = acc - start
-    global_rank.last_partition_counts = {  # per-partition metrics, free
-        pid: counts[pid] for pid in sorted(counts)
-    }
+    info = RankInfo(
+        total=total,
+        partition_counts={pid: counts[pid] for pid in sorted(counts)},
+        persisted=ranged,
+    )
     if not offsets:
+        ranged.unpersist()
+        info.persisted = None
         out = df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
-        return (out, 0) if return_total else out
+        return (out, info) if return_info else out
     offmap = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
@@ -71,4 +93,4 @@ def global_rank(
         )
         .drop(_PID, _RN)
     )
-    return (out, total) if return_total else out
+    return (out, info) if return_info else out

@@ -14,7 +14,7 @@ analog of the reference's checkpoint-after-every-page (``acquirer.py:71-74``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,15 @@ def boundary_break_split(
     the host's round — it drops (it is seen), unseen rows ranked after it
     defer to the next round.
 
+    Skew-safe formulation: "ranked after the first seen row" ⟺ "sort_key >
+    the minimum sort_key among the host's seen rows" (sort_key is a strict
+    total order — canonical_url is unique). So instead of two hot-host
+    windows (a single task per host at 10^10 rows), compute each host's
+    min seen sort_key with an ordinary aggregate (map-side partial combine,
+    parallel within a host) and split by one struct comparison after an
+    equi-join on host; the boundary side has one row per host, so AQE
+    skew-join splitting handles a hot host.
+
     Returns (candidates, boundary_deferred)."""
     if seen is None:
         return frontier, frontier.limit(0)
@@ -47,19 +56,19 @@ def boundary_break_split(
         on="canonical_url",
         how="left",
     )
-    order = [F.col("priority").asc(), F.col("depth").asc(), F.col("canonical_url").asc()]
-    w = Window.partitionBy("host").orderBy(*order)
-    whost = Window.partitionBy("host")
-    flagged = flagged.withColumn("__rn", F.row_number().over(w))
-    flagged = flagged.withColumn(
-        "__boundary",
-        F.min(F.when(F.col("__seen"), F.col("__rn"))).over(whost),
+    key = F.struct(
+        F.col("priority"), F.col("depth"), F.col("canonical_url")
     )
-    not_seen = F.col("__seen").isNull()
-    before = F.col("__rn") < F.coalesce(F.col("__boundary"), F.lit(1 << 62))
-    drop = ["__seen", "__rn", "__boundary"]
-    candidates = flagged.filter(not_seen & before).drop(*drop)
-    deferred = flagged.filter(not_seen & ~before).drop(*drop)
+    boundary = (
+        flagged.filter(F.col("__seen"))
+        .groupBy("host")
+        .agg(F.min(key).alias("__bkey"))
+    )
+    j = flagged.filter(F.col("__seen").isNull()).join(boundary, on="host", how="left")
+    before = F.col("__bkey").isNull() | (key < F.col("__bkey"))
+    drop = ["__seen", "__bkey"]
+    candidates = j.filter(before).drop(*drop)
+    deferred = j.filter(~before).drop(*drop)
     return candidates, deferred
 
 

@@ -192,7 +192,15 @@ def run_crawl(
             # the round-0 bloom must also cover any pre-existing seen state,
             # or those URLs would wrongly probe "definitely unseen"
             delta_src = rr.seen_delta
-            if rnd == 0 and seen_base is not None:
+            if bloom is None and rnd > 0:
+                # no prior bloom at rnd>0 (resuming a workdir originally
+                # crawled with use_bloom=False): rebuild the accumulator
+                # from the FULL seen state, not just this round's delta —
+                # otherwise the next round's probe reports earlier-seen
+                # URLs "definitely unseen" and the never-false-drop
+                # invariant rests on the exact backstop alone
+                delta_src = delta_src.unionByName(seen.select("canonical_url"))
+            elif rnd == 0 and seen_base is not None:
                 delta_src = delta_src.unionByName(seen_base.select("canonical_url"))
             delta = bloom_filter.build_delta(delta_src)
             acc = delta if bloom is None else bloom_filter.merge(bloom.unionByName(delta))

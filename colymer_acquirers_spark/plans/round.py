@@ -129,9 +129,12 @@ def run_round(
 
     # 4. deterministic global order (scalable rank, not a single window);
     # the fetched count falls out of the offset computation for free
-    ranked, n_fetched = global_rank(
-        fetched, SORT_KEYS, "rank", start=rank_offset, return_total=True
+    ranked, rank_info = global_rank(
+        fetched, SORT_KEYS, "rank", start=rank_offset, return_info=True
     )
+    n_fetched = rank_info.total
+    if rank_info.persisted is not None:
+        extra_persisted.append(rank_info.persisted)
     crawl_order = ranked.select(
         "rank", F.col("canonical_url").alias("url"), F.lit(rnd).alias("round")
     )
@@ -254,8 +257,7 @@ def run_round(
         # per-partition fetch counts (north_rule: per-partition metrics),
         # recorded from the rank-offset pass at zero extra cost
         "fetched_by_partition": {
-            str(k): v
-            for k, v in getattr(global_rank, "last_partition_counts", {}).items()
+            str(k): v for k, v in rank_info.partition_counts.items()
         },
     }
     return RoundResult(

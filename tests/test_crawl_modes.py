@@ -111,3 +111,48 @@ def test_resume_identical(spark, web, tmp_path_factory):
     run_crawl(spark, pages, seeds, pol, rob, wd_resume, max_rounds=1)
     run_crawl(spark, pages, seeds, pol, rob, wd_resume, max_rounds=ROUNDS)
     pd.testing.assert_frame_equal(_order(spark, wd_full), _order(spark, wd_resume))
+
+
+def test_resume_toggling_bloom_on(spark, web, tmp_path_factory):
+    """Resume a bloom-less workdir WITH use_bloom=True: results identical to
+    a straight run, and the rebuilt bloom must cover the pre-resume rounds'
+    URLs (never-false-drop: earlier-seen must not probe 'definitely unseen').
+    """
+    pages, seeds, pol, rob = web
+    wd_full = str(tmp_path_factory.mktemp("bfull"))
+    wd_tog = str(tmp_path_factory.mktemp("btog"))
+    bf = BloomSeen(n_shards=8, m_bits=1 << 16)
+    run_crawl(spark, pages, seeds, pol, rob, wd_full, max_rounds=ROUNDS)
+    run_crawl(spark, pages, seeds, pol, rob, wd_tog, max_rounds=1)  # no bloom
+    run_crawl(
+        spark, pages, seeds, pol, rob, wd_tog, max_rounds=ROUNDS,
+        use_bloom=True, bloom_filter=bf,
+    )
+    pd.testing.assert_frame_equal(_order(spark, wd_full), _order(spark, wd_tog))
+    # the first bloom written after the toggle (round 1) must cover round 0
+    import os
+
+    from colymer_acquirers_spark.operators.seen_bloom import BLOOM_SCHEMA
+
+    bloom = spark.read.schema(BLOOM_SCHEMA).parquet(
+        os.path.join(wd_tog, "rounds", "1", "bloom")
+    )
+    round0 = read_output(spark, wd_tog, "seen_delta", upto=0)
+    probed = bf.probe(round0.withColumnRenamed("canonical_url", "canonical_url"), bloom)
+    n_missed = probed.filter(~F.col("maybe_seen")).count()
+    assert n_missed == 0, "rebuilt bloom must cover pre-resume seen URLs"
+
+
+def test_break_split_plan_has_no_window(spark, web):
+    """Scale assertion: break-mode boundary split must not contain a Window
+    over host (a hot host would serialize into one task at 10^10 rows)."""
+    from colymer_acquirers_spark.operators.seen import boundary_break_split
+    from colymer_acquirers_spark.plans.round import bootstrap_frontier
+
+    pages, seeds, _, _ = web
+    frontier = bootstrap_frontier(seeds)
+    seen = pages.select(F.col("url").alias("canonical_url")).limit(50)
+    cand, deferred = boundary_break_split(frontier, seen)
+    for df in (cand, deferred):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan

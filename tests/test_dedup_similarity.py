@@ -144,3 +144,37 @@ def test_lsh_bucket_deterministic_and_ann_recall(vectors):
     exact = set(np.argsort(-sims)[:10])
     # approximate: expect meaningful overlap with the exact top-10
     assert len(set(got) & exact) >= 4
+
+
+def _exact_hamming_pairs(texts, max_h):
+    """Brute-force truth: all pairs with simhash hamming <= max_h."""
+    hashes = {i: _py_simhash(t) for i, t in texts}
+    out = {}
+    for (ia, _), (ib, _) in combinations(texts, 2):
+        d = bin(hashes[ia] ^ hashes[ib]).count("1")
+        if d <= max_h:
+            out[(min(ia, ib), max(ia, ib))] = d
+    return out
+
+
+@pytest.mark.parametrize("max_h", [0, 3, 6, 10])
+def test_simhash_near_dups_complete_recall(spark, max_h):
+    """Pigeonhole guarantee: with n_chunks = max_hamming+1 (the default),
+    EVERY pair within threshold is found — not just hamming-0 dups."""
+    texts = [(i, t) for i, t in DOCS] + [
+        (10, "the quick brown fox leaps over the lazy dog"),
+        (11, "a quick brown fox jumps over one lazy dog"),
+        (12, "the quick brown fox jumps over the hazy dog"),
+        (13, "spark engines process completely different texts"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, "doc_id", "text", max_hamming=max_h).collect()
+    }
+    assert got == _exact_hamming_pairs(texts, max_h)
+
+
+def test_simhash_near_dups_rejects_insufficient_chunks(docs):
+    with pytest.raises(ValueError):
+        simhash_near_dups(docs, "doc_id", "text", max_hamming=5, n_chunks=4)

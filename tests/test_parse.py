@@ -82,3 +82,30 @@ def test_links_order_and_dupes_preserved():
 def test_links_single_quotes_and_attrs():
     h = "<a class='k' href='/q'>1</a>"
     assert extract_links_one(h, BASE) == ["https://h.com/q"]
+
+
+def test_links_nonhttp_schemes_dropped():
+    # adversarial oracle (not just impl-agreement): every explicit non-http(s)
+    # scheme is dropped, including ones the old prefix list missed
+    h = (
+        '<a href="ftp://files.example/x">a</a>'
+        '<a href="tel:+1-555-0100">b</a>'
+        '<a href="file:///etc/passwd">c</a>'
+        '<a href="ssh://host/repo">d</a>'
+        '<a href="news:comp.lang">e</a>'
+        '<a href="HTTPS://ok.example/y">keep1</a>'
+        '<a href="relative/path">keep2</a>'
+    )
+    assert extract_links_one(h, BASE) == [
+        "HTTPS://ok.example/y",
+        "https://h.com/dir/relative/path",
+    ]
+
+
+def test_links_colon_segment_is_scheme():
+    # RFC 3986 §4.2: a relative first segment containing ':' must be written
+    # './seg'; bare 'seg:rest' parses as a scheme and is dropped
+    assert extract_links_one('<a href="foo:bar.html">x</a>', BASE) == []
+    assert extract_links_one('<a href="./foo:bar.html">x</a>', BASE) == [
+        "https://h.com/dir/foo:bar.html"
+    ]

@@ -80,3 +80,20 @@ def test_synth_pages_byte_identical(spark):
     for r in rows:
         assert r["t"] == r["text"], r["url"]  # ground truth column
         assert list(r["l"]) == exp_links[r["url"]], r["url"]
+
+
+def test_nonhttp_scheme_fixtures_dropped_both_impls(spark):
+    """Adversarial scheme fixtures must be DROPPED (value oracle), not just
+    agreed on by the two implementations."""
+    html = (
+        '<a href="ftp://files.example/x">a</a>'
+        '<a href="tel:+1-555-0100">b</a>'
+        '<a href="file:///etc/passwd">c</a>'
+        '<a href="/ok">keep</a>'
+    )
+    expected = ["https://h.com/ok"]
+    assert extract_links_one(html, BASE) == expected
+    df = spark.createDataFrame(
+        pd.DataFrame({"html": [html], "url": [BASE]})
+    ).select(extract_links_expr("html", "url", is_binary=False).alias("l"))
+    assert list(df.first()["l"]) == expected
