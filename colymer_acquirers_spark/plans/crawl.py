@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from colymer_acquirers_spark import schemas
+from colymer_acquirers_spark.operators.seen import compact_seen
 from colymer_acquirers_spark.operators.seen_bloom import BLOOM_SCHEMA, BloomSeen
 from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
+from colymer_acquirers_spark.sources.tables import read_table, write_table
 
 OUTPUTS = ["crawl_order", "seen_delta", "articles", "lineage", "frontier_next"]
 
@@ -85,6 +87,57 @@ def read_output(spark: SparkSession, workdir: str, name: str, upto: int | None =
     return df
 
 
+def _committed_compactions(workdir: str) -> list[int]:
+    d = os.path.join(workdir, "seen_compact")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name)
+        for name in os.listdir(d)
+        if name.isdigit() and os.path.exists(os.path.join(d, name, "_TABLE_COMMIT"))
+    )
+
+
+def read_seen(
+    spark: SparkSession,
+    workdir: str,
+    upto: int,
+    seen_base: DataFrame | None = None,
+) -> DataFrame | None:
+    """Seen state after rounds ≤ ``upto``: latest committed compaction plus
+    the tail deltas behind it.
+
+    Reference analog: block splicing (``acquirer.py:46-58``) — without
+    compaction a long crawl re-reads every prior round's crawl_order each
+    round (O(R²) file opens over the run); with it, reads per round are
+    bounded by ``compact_every`` regardless of round number. Compaction is
+    pure state reorganization: the set is identical, so results never
+    depend on whether/when it ran.
+    """
+    comps = [c for c in _committed_compactions(workdir) if c <= upto]
+    lo = -1
+    base = seen_base
+    if comps:
+        lo = comps[-1]
+        base = read_table(
+            spark, os.path.join(workdir, "seen_compact", str(lo)), schema=schemas.SEEN
+        )
+    ks = [k for k in committed_rounds(workdir) if lo < k <= upto]
+    paths = [
+        p
+        for p in (os.path.join(_round_dir(workdir, k), "crawl_order") for k in ks)
+        if os.path.exists(p)
+    ]
+    delta = (
+        spark.read.parquet(*paths).select(F.col("url").alias("canonical_url"))
+        if paths
+        else None
+    )
+    if base is None:
+        return delta
+    return base if delta is None else base.select("canonical_url").unionByName(delta)
+
+
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -101,6 +154,7 @@ def run_crawl(
     bloom_filter: "BloomSeen | None" = None,
     initial_seen: DataFrame | None = None,
     metrics_full: bool = True,
+    compact_every: int = 8,
 ) -> dict:
     """Run (or resume) up to ``max_rounds`` crawl rounds; returns summary.
 
@@ -154,12 +208,8 @@ def run_crawl(
         if frontier_count == 0:
             break
         seen = (
-            read_output(spark, workdir, "seen_delta", upto=rnd - 1)
-            if rnd > 0
-            else None
+            read_seen(spark, workdir, rnd - 1, seen_base) if rnd > 0 else seen_base
         )
-        if seen_base is not None:
-            seen = seen_base if seen is None else seen.unionByName(seen_base)
         bloom = None
         if use_bloom and rnd > 0:
             bloom_path = os.path.join(_round_dir(workdir, rnd - 1), "bloom")
@@ -192,7 +242,7 @@ def run_crawl(
             # the round-0 bloom must also cover any pre-existing seen state,
             # or those URLs would wrongly probe "definitely unseen"
             delta_src = rr.seen_delta
-            if bloom is None and rnd > 0:
+            if bloom is None and rnd > 0 and seen is not None:
                 # no prior bloom at rnd>0 (resuming a workdir originally
                 # crawled with use_bloom=False): rebuild the accumulator
                 # from the FULL seen state, not just this round's delta —
@@ -219,6 +269,17 @@ def run_crawl(
         os.replace(tmp, _manifest_path(workdir, rnd))
         for df in rr.persisted:
             df.unpersist()
+        # seen compaction every K committed rounds (reference analog: block
+        # splicing, acquirer.py:46-58): rewrite base ∪ deltas into one
+        # table so per-round seen reads stay O(compact_every), not O(R)
+        if compact_every and (rnd + 1) % compact_every == 0:
+            full = read_seen(spark, workdir, rnd, seen_base)
+            if full is not None:
+                write_table(
+                    compact_seen(full),
+                    os.path.join(workdir, "seen_compact", str(rnd)),
+                    mode="overwrite",
+                )
 
     pages_k.unpersist()
     return {

@@ -38,6 +38,7 @@ from colymer_acquirers_spark.operators.seen import (
     merge_frontier,
 )
 from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
+from colymer_acquirers_spark.sources.tables import write_table
 
 SORT_KEYS = ["priority", "depth", "canonical_url"]
 
@@ -138,7 +139,10 @@ def run_round(
     crawl_order = ranked.select(
         "rank", F.col("canonical_url").alias("url"), F.lit(rnd).alias("round")
     )
-    crawl_order.write.mode("overwrite").parquet(os.path.join(out_dir, "crawl_order"))
+    # all round outputs go through the Iceberg-shaped table layer (catalog
+    # tables in production; committed parquet dirs in this sandbox) — the
+    # round manifest remains the round-level commit marker
+    write_table(crawl_order, os.path.join(out_dir, "crawl_order"), mode="overwrite")
     n_carryover = (
         n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
     )
@@ -185,9 +189,11 @@ def run_round(
         F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
     )
     obs_articles = Observation()
-    articles.observe(obs_articles, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "articles"))
+    write_table(
+        articles.observe(obs_articles, F.count(F.lit(1)).alias("n")),
+        os.path.join(out_dir, "articles"),
+        mode="overwrite",
+    )
     n_parsed = obs_articles.get["n"]
     n_miss = n_fetched - n_parsed
 
@@ -205,7 +211,7 @@ def run_round(
     lineage = links.select(
         F.lit(rnd).alias("round"), "src_url", "dst_url"
     ).dropDuplicates(["src_url", "dst_url"])
-    lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
+    write_table(lineage, os.path.join(out_dir, "lineage"), mode="overwrite")
 
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
     seen_now = (
@@ -239,9 +245,11 @@ def run_round(
         )
     frontier_next = merge_frontier(nxt).withColumn("host", host_of("canonical_url"))
     obs_frontier = Observation()
-    frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "frontier_next"))
+    write_table(
+        frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")),
+        os.path.join(out_dir, "frontier_next"),
+        mode="overwrite",
+    )
 
     metrics = {
         "round": rnd,

@@ -156,3 +156,41 @@ def test_break_split_plan_has_no_window(spark, web):
     for df in (cand, deferred):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, plan
+
+
+def test_compaction_identical_and_bounded_reads(spark, web, tmp_path_factory):
+    """compact_every=1 (compaction after every round) must produce results
+    identical to compact_every=0 (never), the compaction tables must exist,
+    and read_seen must source from the latest compaction + bounded tail."""
+    import os
+
+    from colymer_acquirers_spark.plans.crawl import (
+        _committed_compactions,
+        read_seen,
+    )
+
+    pages, seeds, pol, rob = web
+    wd_none = str(tmp_path_factory.mktemp("cnone"))
+    wd_comp = str(tmp_path_factory.mktemp("ccomp"))
+    run_crawl(spark, pages, seeds, pol, rob, wd_none, max_rounds=ROUNDS,
+              compact_every=0)
+    run_crawl(spark, pages, seeds, pol, rob, wd_comp, max_rounds=ROUNDS,
+              compact_every=1)
+    pd.testing.assert_frame_equal(_order(spark, wd_none), _order(spark, wd_comp))
+    comps = _committed_compactions(wd_comp)
+    assert comps == list(range(ROUNDS)), comps
+    # seen state via compaction equals the naive all-deltas union
+    via_comp = set(
+        read_seen(spark, wd_comp, ROUNDS - 1).toPandas()["canonical_url"]
+    )
+    naive = set(
+        read_output(spark, wd_none, "seen_delta").toPandas()["canonical_url"]
+    )
+    assert via_comp == naive
+    # and resume on a compacted workdir stays identical
+    wd_res = str(tmp_path_factory.mktemp("cres"))
+    run_crawl(spark, pages, seeds, pol, rob, wd_res, max_rounds=1,
+              compact_every=1)
+    run_crawl(spark, pages, seeds, pol, rob, wd_res, max_rounds=ROUNDS,
+              compact_every=1)
+    pd.testing.assert_frame_equal(_order(spark, wd_none), _order(spark, wd_res))

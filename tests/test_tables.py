@@ -28,3 +28,33 @@ def test_append_keeps_commit(spark, tmp_path):
     write_table(spark.range(10), path, mode="overwrite")
     write_table(spark.range(10, 20), path, mode="append")
     assert read_table(spark, path).count() == 20
+
+
+def test_crawl_round_outputs_are_committed_tables(spark, tmp_path):
+    """A crawl round's outputs go through write_table: each output dir
+    carries a _TABLE_COMMIT marker and reads back via read_table."""
+    import os
+
+    from colymer_acquirers_spark.plans.crawl import run_crawl
+    from colymer_acquirers_spark.sources.synth import (
+        synth_pages,
+        synth_politeness,
+        synth_robots,
+        synth_seeds,
+    )
+
+    wd = str(tmp_path / "wd")
+    run_crawl(
+        spark,
+        synth_pages(spark, 120),
+        synth_seeds(spark, 6),
+        synth_politeness(spark),
+        synth_robots(spark),
+        wd,
+        max_rounds=2,
+    )
+    for rnd in (0, 1):
+        for name in ("crawl_order", "articles", "lineage", "frontier_next"):
+            path = os.path.join(wd, "rounds", str(rnd), name)
+            assert os.path.exists(os.path.join(path, "_TABLE_COMMIT")), path
+            assert read_table(spark, path).count() >= 0
