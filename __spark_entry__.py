@@ -54,6 +54,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_dups(_docs(spark, sf), "doc_id", "text", max_hamming=3)
     out["simhash_near_dup_pairs"] = simhash_near_dup_pairs
 
+    def embedding_near_dup_lsh_pairs(spark, sf):
+        from colymer_acquirers_spark.operators.similarity import (
+            embedding_near_dups_lsh,
+        )
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        # low threshold (0.3 ≈ 72° — far looser than real near-dup work)
+        # needs short keys + OR-amplification for recall; see operator doc
+        return embedding_near_dups_lsh(
+            e, threshold=0.3, n_planes=6, n_tables=8
+        ).select("id_a", "id_b")
+    out["embedding_near_dup_lsh_pairs"] = embedding_near_dup_lsh_pairs
+
     def ann_lsh_topk(spark, sf):
         from colymer_acquirers_spark.operators.similarity import ann_cosine_topk_lsh
 

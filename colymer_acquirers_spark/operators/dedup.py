@@ -199,12 +199,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    """Word-n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     shingles via JVM transform over the token array (no UDF); pair counts
     from a shingle self-join (shuffle on the shingle hash); Jaccard from
     |A∩B| and per-doc shingle counts.
+
+    max_doc_freq (the standard DF cap): drop shingles appearing in more
+    than this many documents BEFORE the self-join. Without it, one stop-
+    shingle ("of the and") at corpus scale makes its bucket quadratic and
+    its shuffle key hot — set it at web scale (e.g. 1000). Tradeoff: the
+    intersection count loses capped shingles, so jaccard is UNDERESTIMATED
+    for pairs whose overlap is mostly stop-shingles — a recall, never a
+    precision, loss for a ≥threshold filter (denominator counts stay
+    uncapped). None (default) = exact.
     """
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
@@ -218,6 +228,14 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     ).dropDuplicates([id_col, "sh"])
     counts = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        shingled = shingled.join(rare, on="sh", how="left_semi")
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(

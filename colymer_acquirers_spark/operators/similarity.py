@@ -91,3 +91,87 @@ def ann_cosine_topk_lsh(
     bucketed = lsh_bucket(df, dim, n_planes, vec_col=vec_col)
     cand = bucketed.filter(F.col("bucket").isin(neighbor_keys))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    hamming_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold — the SCALE path.
+
+    Candidates come from LSH bucket collisions (equi-joins on the bucket
+    key), never an all-pairs inequality join. OR-amplification across
+    ``n_tables`` independent hyperplane tables (seeds seed..seed+T-1), plus
+    hamming≤``hamming_probes`` multi-probe within each table: a true pair
+    survives if ANY table agrees within the probe radius, so recall is
+    1-(1-p_table)^T with p_table = P(≤probes bits differ). The exact
+    JVM-side cosine verifies every candidate — precision is always 1.
+
+    Plan shape: explode (tables × probes) → shuffle on (table, bucket) →
+    equi-join → cosine filter. At 10^10 rows pick
+    n_planes ≈ log2(n_rows / target_bucket_size); raising n_tables buys
+    recall linearly in cost, raising n_planes shrinks buckets.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if hamming_probes > 1:
+        raise NotImplementedError("multi-probe radius > 1 not implemented")
+    v = F.col(vec_col).cast("array<double>")
+
+    def bucket_expr(t: int):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        key = None
+        for i, pl in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in pl])
+            bit = F.when(dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ) * F.lit(1 << i).cast("long")
+            key = bit if key is None else key + bit
+        return key
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("b"))
+            for t in range(n_tables)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col), v.alias("__v"), F.explode(tables).alias("tb")
+    ).select(id_col, "__v", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
+    n_probe_bits = n_planes if hamming_probes else 0
+    probes = [F.col("__b")] + [
+        F.col("__b").bitwiseXOR(F.lit(1 << i).cast("long"))
+        for i in range(n_probe_bits)
+    ]
+    a = keyed.select(
+        id_col, "__v", "__t", F.explode(F.array(*probes)).alias("__probe")
+    ).alias("a")
+    # the right side joins on its OWN bucket only (probe ⋈ bucket covers
+    # hamming-1 pairs once in each direction; id_a < id_b dedups)
+    b = keyed.alias("b")
+    sim = dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.sqrt(dot(F.col("a.__v"), F.col("a.__v")))
+        * F.sqrt(dot(F.col("b.__v"), F.col("b.__v")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__probe") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -433,6 +433,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs_sql
 
+    # dedup-ngram-jaccard with the DF cap (the web-scale configuration):
+    # shingles in > max_doc_freq docs are dropped before the self-join, so
+    # no stop-shingle bucket goes quadratic; jaccard is underestimated for
+    # stop-shingle-heavy pairs (recall tradeoff, denominators stay exact)
+    def ngram_jaccard_dfcap(spark, sf, max_doc_freq: int = 8):
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        shingled = (
+            d.filter(F.size(toks) >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 2),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+                    )
+                ).alias("sh"),
+            )
+            .dropDuplicates(["doc_id", "sh"])
+        )
+        counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        capped = shingled.join(rare, on="sh", how="left_semi")
+        a, b = capped.alias("a"), capped.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        return (
+            inter.join(ca, "id_a")
+            .join(cb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.05)
+        )
+    q["ngram_jaccard_dfcap"] = ngram_jaccard_dfcap
+
     # envelope normalization (P1-P5): printf-built raw JSON → schema-on-read
     # projection + type-classification ladder + epoch→timestamp conversion
     def json_envelope_normalize(spark, sf):
@@ -695,6 +751,26 @@ def oracle_sql() -> dict[str, str]:
             ix AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+            FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
+        """,
+        "ngram_jaccard_dfcap": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+                     WHERE df <= 8),
+            capped AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
+            ix AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id_a, id_b,
                    inter / (ca.n_sh + cb.n_sh - inter) AS jaccard

@@ -178,3 +178,54 @@ def test_simhash_near_dups_complete_recall(spark, max_h):
 def test_simhash_near_dups_rejects_insufficient_chunks(docs):
     with pytest.raises(ValueError):
         simhash_near_dups(docs, "doc_id", "text", max_hamming=5, n_chunks=4)
+
+
+def test_embedding_near_dups_lsh_equijoin_only_and_recall(vectors):
+    """The LSH near-dup path must (a) contain no nested-loop/cartesian join
+    in the physical plan and (b) hit useful recall vs the exact all-pairs
+    truth on the small fixture, with perfect precision (exact cosine verify).
+    """
+    from colymer_acquirers_spark.operators.similarity import embedding_near_dups_lsh
+
+    vecs, df = vectors
+    got = embedding_near_dups_lsh(df, threshold=0.6, dim=16, n_planes=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    exact = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.6
+    }
+    assert pairs <= exact, "LSH path must never emit a below-threshold pair"
+    if exact:
+        recall = len(pairs & exact) / len(exact)
+        assert recall >= 0.5, (recall, len(exact))
+
+
+def test_ngram_jaccard_dfcap_underestimates_only(spark):
+    """DF cap: capped jaccard <= exact jaccard per pair (never overestimates,
+    so a >=threshold filter only loses recall); with a cap that bites on a
+    stop-shingle, the hot bucket disappears."""
+    texts = [(i, f"of the and unique{i} words{i} tail{i} of the and") for i in range(6)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.0001).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.0001, max_doc_freq=3
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-12, k
+    # the shared stop-shingle "of the and" appears in all 6 docs (> cap 3):
+    # every pairwise intersection was exactly that shingle, so no pairs remain
+    assert capped == {}
+    assert len(exact) == 15
