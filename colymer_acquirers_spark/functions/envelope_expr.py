@@ -1,0 +1,210 @@
+"""JVM-expression mirror of the FROZEN ENVELOPE RULES (``envelope.py``).
+
+Whole-stage-codegen'd regexp/HOF expressions; html never leaves the JVM on
+the production parse path. Byte/value parity with the Python reference
+implementation is pinned by ``tests/test_envelope.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from colymer_acquirers_spark.functions.envelope import (
+    EXT_CONTENT_TYPE,
+    PAGE_CONTENT_TYPE,
+    meta_pattern,
+)
+from colymer_acquirers_spark.functions.parse import _WS_CLASS, _WS_RE
+from colymer_acquirers_spark.functions.parse_expr import (
+    _BASE_PARTS_RE,
+    _as_str,
+    base_parts_expr,
+    join_href_expr,
+)
+
+_WSP = _WS_CLASS + "*"  # optional frozen whitespace
+_MEDIA_TAG_RE = r"(?is)<(?:img|video|audio)\b[^>]*>"
+_TAG_KIND_RE = r"(?is)^<([a-z]+)"
+_SRC_D_RE = rf"(?is)\bsrc{_WSP}={_WSP}\"([^\"]*)\""
+_SRC_S_RE = rf"(?is)\bsrc{_WSP}={_WSP}'([^']*)'"
+_WIDTH_RE = rf"(?is)\bwidth{_WSP}={_WSP}[\"']?(\d+)"
+_HEIGHT_RE = rf"(?is)\bheight{_WSP}={_WSP}[\"']?(\d+)"
+_EXT_RE = r"\.([A-Za-z0-9]{1,5})$"
+
+
+def _nullif_empty(c: Column) -> Column:
+    return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
+
+
+def _meta_expr(s: Column, attr: str, name: str) -> Column:
+    """FROZEN RULES 1-3 lookup: double-quoted content wins over single."""
+    d = F.regexp_extract(s, meta_pattern(attr, name, True), 1)
+    sg = F.regexp_extract(s, meta_pattern(attr, name, False), 1)
+    return F.coalesce(_nullif_empty(d), _nullif_empty(sg))
+
+
+def _clean_expr(c: Column) -> Column:
+    for ent, rep in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return _nullif_empty(F.trim(F.regexp_replace(c, _WS_RE, " ")))
+
+
+def extract_author_expr(html: Column | str, is_binary: bool = True) -> Column:
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    return _clean_expr(F.coalesce(_meta_expr(s, "name", "author"), F.lit("")))
+
+
+def extract_author_id_expr(html: Column | str, is_binary: bool = True) -> Column:
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    return _clean_expr(F.coalesce(_meta_expr(s, "name", "author-id"), F.lit("")))
+
+
+def extract_published_expr(html: Column | str, is_binary: bool = True) -> Column:
+    """FROZEN RULE 3: strict ``yyyy-mm-ddThh:mm:ssZ`` → timestamp else NULL
+    (non-ANSI to_timestamp returns NULL on mismatch; the rlike pre-filter
+    makes the intent explicit)."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    raw = _meta_expr(s, "property", "article:published_time")
+    ok = raw.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+    return F.when(ok, F.to_timestamp(raw, "yyyy-MM-dd'T'HH:mm:ss'Z'")).otherwise(
+        F.lit(None).cast("timestamp")
+    )
+
+
+def _ext_map() -> Column:
+    pairs = []
+    for k, v in EXT_CONTENT_TYPE.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
+
+def page_content_type_expr(url: Column | str) -> Column:
+    """FROZEN RULE 4 ladder over the (canonical) url."""
+    u = F.col(url) if isinstance(url, str) else url
+    strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
+    ut = F.regexp_replace(u, strip_re, "")
+    scheme = F.lower(F.regexp_extract(ut, _BASE_PARTS_RE, 1))
+    raw_path = F.regexp_extract(ut, _BASE_PARTS_RE, 3)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    path = F.element_at(
+        F.split(F.element_at(F.split(path, "[?]", 2), 1), "#", 2), 1
+    )
+    filename = F.element_at(F.split(path, "/"), -1)
+    ext = F.lower(F.regexp_extract(filename, _EXT_RE, 1))
+    page_pairs = []
+    for k, v in PAGE_CONTENT_TYPE.items():
+        page_pairs.extend([F.lit(k), F.lit(v)])
+    ladder = (
+        F.when(ext == "", F.lit("text/html"))
+        .otherwise(
+            F.coalesce(
+                F.element_at(F.create_map(*page_pairs), ext),
+                F.lit("application/octet-stream"),
+            )
+        )
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(ladder)
+
+
+def extract_attachments_expr(
+    html: Column | str, base_url: Column | str, is_binary: bool = True
+) -> Column:
+    """FROZEN RULE 5 as HOF array expressions: array<ATTACHMENT-shaped
+    struct> in document order."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    base = F.col(base_url) if isinstance(base_url, str) else base_url
+    scheme, host, base_dir = base_parts_expr(base)
+
+    tags = F.regexp_extract_all(s, F.lit(_MEDIA_TAG_RE), F.lit(0))
+
+    def build(tag: Column) -> Column:
+        kind = F.lower(F.regexp_extract(tag, _TAG_KIND_RE, 1))
+        src = F.coalesce(
+            _nullif_empty(F.regexp_extract(tag, _SRC_D_RE, 1)),
+            _nullif_empty(F.regexp_extract(tag, _SRC_S_RE, 1)),
+        )
+        abs_url = F.when(
+            src.isNotNull(), join_href_expr(src, scheme, host, base_dir)
+        ).otherwise(F.lit(None).cast("string"))
+        clean = F.element_at(
+            F.split(F.element_at(F.split(abs_url, "[?]", 2), 1), "#", 2), 1
+        )
+        path = F.regexp_extract(clean, _BASE_PARTS_RE, 3)
+        path = F.when(path == "", F.lit("/")).otherwise(path)
+        filename = F.element_at(F.split(path, "/"), -1)
+        ext = F.lower(F.regexp_extract(filename, _EXT_RE, 1))
+        ctype = F.when(
+            ext == "", F.concat(kind, F.lit("/unknown"))
+        ).otherwise(
+            F.coalesce(
+                F.element_at(_ext_map(), ext), F.concat(kind, F.lit("/unknown"))
+            )
+        )
+        att_id = F.md5(F.encode(abs_url, "utf-8"))
+        width = _nullif_empty(F.regexp_extract(tag, _WIDTH_RE, 1)).cast("int")
+        height = _nullif_empty(F.regexp_extract(tag, _HEIGHT_RE, 1)).cast("int")
+        return F.struct(
+            att_id.alias("id"),
+            filename.alias("filename"),
+            ctype.alias("content_type"),
+            abs_url.alias("original_url"),
+            F.struct(
+                width.alias("width"),
+                height.alias("height"),
+                F.lit(None).cast("long").alias("duration_millis"),
+                F.lit(None).cast("long").alias("size"),
+                F.lit(None).cast("long").alias("bitrate"),
+                F.lit(None).cast("string").alias("quality"),
+            ).alias("metadata"),
+            F.struct(
+                F.lit(True).alias("directly_transfer"),
+                F.when(
+                    ext == "", att_id
+                ).otherwise(F.concat(att_id, F.lit("."), ext)).alias("path"),
+                base.alias("referer"),
+            ).alias("persist_info"),
+        )
+
+    built = F.transform(tags, build)
+    kept = F.filter(built, lambda a: a["original_url"].isNotNull())
+    empty = F.array().cast(
+        "array<struct<id:string,filename:string,content_type:string,"
+        "original_url:string,"
+        "metadata:struct<width:int,height:int,duration_millis:bigint,"
+        "size:bigint,bitrate:bigint,quality:string>,"
+        "persist_info:struct<directly_transfer:boolean,path:string,"
+        "referer:string>>>"
+    )
+    return F.when(s.isNull() | base.isNull() | (scheme == ""), empty).otherwise(kept)
+
+
+def envelope_expr(
+    html: Column | str, base_url: Column | str, is_binary: bool = True
+) -> Column:
+    """struct<author_id, author_name, published, attachments> in one pass."""
+    h = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        h = _as_str(h)
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    return F.struct(
+        extract_author_id_expr(h, is_binary=False).alias("author_id"),
+        extract_author_expr(h, is_binary=False).alias("author_name"),
+        extract_published_expr(h, is_binary=False).alias("published"),
+        extract_attachments_expr(h, b, is_binary=False).alias("attachments"),
+    )

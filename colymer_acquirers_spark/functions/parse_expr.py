@@ -96,6 +96,47 @@ def _normalize_path_expr(p: Column) -> Column:
     return F.concat(F.lit("/"), F.array_join(acc, "/"))
 
 
+def base_parts_expr(base: Column) -> tuple[Column, Column, Column]:
+    """(scheme, host, base_dir) of a base url — FROZEN LINK RULE pieces,
+    shared by link and attachment absolutization."""
+    scheme = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 2))
+    raw_path = F.regexp_extract(base, _BASE_PARTS_RE, 3)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    base_dir_raw = F.regexp_extract(path, r"^(.*/)", 1)
+    base_dir = F.when(base_dir_raw == "", F.lit("/")).otherwise(base_dir_raw)
+    return scheme, host, base_dir
+
+
+def join_href_expr(
+    h0: Column, scheme: Column, host: Column, base_dir: Column
+) -> Column:
+    """Absolutize one raw href — JVM mirror of ``parse._join_url``."""
+    strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
+    t = F.regexp_replace(h0, strip_re, "")
+    tl = F.lower(t)
+    # relative resolution pieces (FROZEN LINK RULE, matching _join_url)
+    nofrag = F.element_at(F.split(t, "#", 2), 1)
+    path_part = F.element_at(F.split(nofrag, "[?]", 2), 1)
+    has_q = F.contains(nofrag, F.lit("?"))
+    q_tail = F.when(
+        has_q, F.concat(F.lit("?"), F.element_at(F.split(nofrag, "[?]", 2), 2))
+    ).otherwise(F.lit(""))
+    joined = _normalize_path_expr(F.concat(base_dir, path_part))
+    rel = F.concat(scheme, F.lit("://"), host, joined, q_tail)
+    return (
+        F.when((t == "") | t.startswith("#"), F.lit(None).cast("string"))
+        .when(tl.startswith("http://") | tl.startswith("https://"), t)
+        # any other explicit scheme (javascript:, mailto:, ftp://, tel:,
+        # …) is dropped — mirrors _join_url's _SCHEME_RE guard
+        .when(t.rlike(_SCHEME_RLIKE), F.lit(None).cast("string"))
+        .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
+        .when(t.startswith("/"), F.concat(scheme, F.lit("://"), host, t))
+        .when(nofrag == "", F.lit(None).cast("string"))
+        .otherwise(rel)
+    )
+
+
 def extract_links_expr(
     html: Column | str, base_url: Column | str, is_binary: bool = True
 ) -> Column:
@@ -105,43 +146,15 @@ def extract_links_expr(
         s = _as_str(s)
     base = F.col(base_url) if isinstance(base_url, str) else base_url
 
-    scheme = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 1))
-    host = F.lower(F.regexp_extract(base, _BASE_PARTS_RE, 2))
-    raw_path = F.regexp_extract(base, _BASE_PARTS_RE, 3)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    base_dir_raw = F.regexp_extract(path, r"^(.*/)", 1)
-    base_dir = F.when(base_dir_raw == "", F.lit("/")).otherwise(base_dir_raw)
+    scheme, host, base_dir = base_parts_expr(base)
 
     quoted = F.regexp_extract_all(s, F.lit(_HREF_ALL_RE), F.lit(1))
     hrefs = F.transform(quoted, lambda q: F.substring(q, 2, F.length(q) - 2))
 
-    strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
-
-    def join_one(h0: Column) -> Column:
-        t = F.regexp_replace(h0, strip_re, "")
-        tl = F.lower(t)
-        # relative resolution pieces (FROZEN LINK RULE, matching _join_url)
-        nofrag = F.element_at(F.split(t, "#", 2), 1)
-        path_part = F.element_at(F.split(nofrag, "[?]", 2), 1)
-        has_q = F.contains(nofrag, F.lit("?"))
-        q_tail = F.when(
-            has_q, F.concat(F.lit("?"), F.element_at(F.split(nofrag, "[?]", 2), 2))
-        ).otherwise(F.lit(""))
-        joined = _normalize_path_expr(F.concat(base_dir, path_part))
-        rel = F.concat(scheme, F.lit("://"), host, joined, q_tail)
-        return (
-            F.when((t == "") | t.startswith("#"), F.lit(None).cast("string"))
-            .when(tl.startswith("http://") | tl.startswith("https://"), t)
-            # any other explicit scheme (javascript:, mailto:, ftp://, tel:,
-            # …) is dropped — mirrors _join_url's _SCHEME_RE guard
-            .when(t.rlike(_SCHEME_RLIKE), F.lit(None).cast("string"))
-            .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
-            .when(t.startswith("/"), F.concat(scheme, F.lit("://"), host, t))
-            .when(nofrag == "", F.lit(None).cast("string"))
-            .otherwise(rel)
-        )
-
-    links = F.filter(F.transform(hrefs, join_one), lambda x: x.isNotNull())
+    links = F.filter(
+        F.transform(hrefs, lambda h: join_href_expr(h, scheme, host, base_dir)),
+        lambda x: x.isNotNull(),
+    )
     # no base match (scheme empty) → empty list, as in extract_links_one
     empty = F.array().cast("array<string>")
     return F.when(s.isNull() | base.isNull() | (scheme == ""), empty).otherwise(links)

@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from colymer_acquirers_spark.functions.canonical import canonicalize_url, host_of
+from colymer_acquirers_spark.functions.envelope_expr import (
+    envelope_expr,
+    page_content_type_expr,
+)
 from colymer_acquirers_spark.functions.parse import parse_page
 from colymer_acquirers_spark.functions.parse_expr import parse_page_expr
 from colymer_acquirers_spark.operators.politeness import politeness_split, robots_filter
@@ -151,41 +155,60 @@ def run_round(
     seen_delta = fetched.select("canonical_url")
 
     # 6. fetch-simulate: equi-join on canonical_url (left: misses = dangling)
-    joined = fetched.select("canonical_url", "priority", "depth").join(
-        pages_k.select("canonical_url", "html", "lang"),
+    joined = fetched.select("canonical_url", "url", "priority", "depth").join(
+        pages_k.select("canonical_url", "html", "lang", "warc_ts"),
         on="canonical_url",
         how="left",
     )
-    # 7. parse: content + links in one pass (JVM exprs by default; the Arrow
-    # UDF variant crosses to Python exactly once per page); html is dropped
+    # 7. parse: content + links + envelope in one pass over html (JVM exprs
+    # by default; parse_impl='arrow' moves content/title/links to a single
+    # Arrow round-trip while the envelope stays JVM-side); html is dropped
     # before the cache so it is never buffered twice
     parse_fn = parse_page_expr if parse_impl == "jvm" else parse_page
     parsed = (
         joined.filter(F.col("html").isNotNull())
         .select(
             "canonical_url",
+            "url",
             "priority",
             "depth",
             "lang",
+            "warc_ts",
             parse_fn("html", "canonical_url").alias("p"),
+            envelope_expr("html", "canonical_url").alias("env"),
         )
         .select(
             "canonical_url",
+            "url",
             "priority",
             "depth",
             "lang",
+            "warc_ts",
             F.col("p.content").alias("content"),
             F.col("p.title").alias("title"),
             F.col("p.links").alias("links"),
+            "env",
         )
         .persist()
     )
+    # full article envelope (schemas.ARTICLES; reference envelope
+    # weibo.py:215-231, twitter.py:86-103): author/time/content_type/
+    # metadata passthrough/attachments, FROZEN ENVELOPE RULES
     articles = parsed.select(
-        F.col("canonical_url").alias("url"),
+        F.col("url"),
+        F.col("canonical_url"),
         "title",
         "content",
+        page_content_type_expr(F.col("canonical_url")).alias("content_type"),
+        F.col("env.author_id").alias("author_id"),
+        F.col("env.author_name").alias("author_name"),
+        F.coalesce(F.col("env.published"), F.col("warc_ts")).alias("time"),
         "lang",
         F.lit(rnd).alias("round"),
+        F.to_json(F.struct(F.col("priority"), F.col("depth"))).alias(
+            "metadata_json"
+        ),
+        F.col("env.attachments").alias("attachments"),
         F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
     )
     obs_articles = Observation()

@@ -48,6 +48,14 @@ from colymer_acquirers_spark.functions.canonical import (
     canonicalize_url_series,
     host_of_series,
 )
+from colymer_acquirers_spark.functions.envelope import (
+    extract_attachments_one,
+    extract_author_id_series,
+    extract_author_series,
+    extract_published_series,
+    metadata_json_one,
+    page_content_type_one,
+)
 from colymer_acquirers_spark.functions.parse import (
     extract_links_one,
     extract_text_series,
@@ -198,15 +206,29 @@ def crawl(
                 miss += 1
                 continue
             parsed += 1
-            content = extract_text_series(pd.Series([page["html"]]))[0]
-            title = extract_title_series(pd.Series([page["html"]]))[0]
+            hs = pd.Series([page["html"]])
+            content = extract_text_series(hs)[0]
+            title = extract_title_series(hs)[0]
+            published = extract_published_series(hs)[0]
+            time = (
+                published.replace(tzinfo=None)
+                if published is not None
+                else page["warc_ts"]
+            )
             article_rows.append(
                 {
-                    "url": c,
+                    "url": allowed[c][2],
+                    "canonical_url": c,
                     "title": title,
                     "content": content,
+                    "content_type": page_content_type_one(c),
+                    "author_id": extract_author_id_series(hs)[0],
+                    "author_name": extract_author_series(hs)[0],
+                    "time": time,
                     "lang": page["lang"],
                     "round": rnd,
+                    "metadata_json": metadata_json_one(pri, dep),
+                    "attachments": extract_attachments_one(page["html"], c),
                     "text_sha256": hashlib.sha256(content.encode()).hexdigest(),
                 }
             )
@@ -254,7 +276,21 @@ def crawl(
         seen=seen,
         articles=pd.DataFrame(
             article_rows,
-            columns=["url", "title", "content", "lang", "round", "text_sha256"],
+            columns=[
+                "url",
+                "canonical_url",
+                "title",
+                "content",
+                "content_type",
+                "author_id",
+                "author_name",
+                "time",
+                "lang",
+                "round",
+                "metadata_json",
+                "attachments",
+                "text_sha256",
+            ],
         ),
         lineage=pd.DataFrame(lineage_rows, columns=["round", "src_url", "dst_url"]),
         metrics=metrics,

@@ -520,6 +520,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["json_envelope_normalize"] = json_envelope_normalize
 
+    # FROZEN ENVELOPE RULES under an independent oracle: Spark PARSES the
+    # printf-built html via the frozen regex rules; DuckDB derives the same
+    # fields ARITHMETICALLY from doc_id (never sees the html) — agreement
+    # means the extraction rules invert the generator exactly
+    def article_envelope_extract(spark, sf):
+        from colymer_acquirers_spark.functions.envelope_expr import (
+            extract_attachments_expr,
+            extract_author_expr,
+            extract_published_expr,
+            page_content_type_expr,
+        )
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://h"), (i % 17).cast("string"),
+            F.lit(".test/d/"), i.cast("string"),
+        )
+        author_meta = F.when(
+            (i % 10) < 7,
+            F.format_string('<meta name="author" content="Author %d">', i % 37),
+        ).otherwise(F.lit(""))
+        pub_meta = F.when(
+            (i % 10) < 8,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                F.date_format(
+                    F.timestamp_seconds(F.lit(1735689600) + i * 60),
+                    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+                ),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit(""))
+        img = F.when(
+            (i % 4) > 0,
+            F.format_string('<img src="/m/i%d.jpg" width="%d">', i, i % 1920 + 1),
+        ).otherwise(F.lit(""))
+        html = F.concat(
+            F.lit("<html><head><title>T</title>"), author_meta, pub_meta,
+            F.lit("</head><body>"), img, F.lit("</body></html>"),
+        )
+        atts = extract_attachments_expr(html, url, is_binary=False)
+        first = F.element_at(atts, 1)
+        return d.select(
+            i.alias("doc_id"),
+            extract_author_expr(html, is_binary=False).alias("author_name"),
+            extract_published_expr(html, is_binary=False).alias("published"),
+            page_content_type_expr(url).alias("content_type"),
+            F.size(atts).alias("n_attachments"),
+            first["original_url"].alias("att_url"),
+            first["content_type"].alias("att_type"),
+            first["metadata"]["width"].alias("att_width"),
+            first["id"].alias("att_id"),
+        )
+    q["article_envelope_extract"] = article_envelope_extract
+
     # embedding near-dup pairs (bounded id range; ids only — float-safe)
     def embedding_near_dup_pairs(spark, sf):
         e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
@@ -793,6 +849,30 @@ def oracle_sql() -> dict[str, str]:
                    raw_json AS metadata_json
             FROM raw
         """,
+        "article_envelope_extract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 7
+                        THEN 'Author ' || CAST(doc_id % 37 AS VARCHAR) END
+                     AS author_name,
+                   CASE WHEN doc_id % 10 < 8
+                        THEN make_timestamp((1735689600 + doc_id * 60) * 1000000) END
+                     AS published,
+                   'text/html' AS content_type,
+                   CAST(CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS INT)
+                     AS n_attachments,
+                   CASE WHEN doc_id % 4 > 0
+                        THEN 'https://h' || CAST(doc_id % 17 AS VARCHAR)
+                             || '.test/m/i' || CAST(doc_id AS VARCHAR) || '.jpg' END
+                     AS att_url,
+                   CASE WHEN doc_id % 4 > 0 THEN 'image/jpeg' END AS att_type,
+                   CAST(CASE WHEN doc_id % 4 > 0 THEN doc_id % 1920 + 1 END AS INT)
+                     AS att_width,
+                   CASE WHEN doc_id % 4 > 0
+                        THEN md5('https://h' || CAST(doc_id % 17 AS VARCHAR)
+                             || '.test/m/i' || CAST(doc_id AS VARCHAR) || '.jpg') END
+                     AS att_id
+            FROM documents
+        """,
         "embedding_near_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -837,4 +917,25 @@ def flagship_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> Dat
     )
     workdir = tempfile.mkdtemp(prefix="flagship_crawl_")
     run_crawl(spark, pages, seeds, politeness, None, workdir, max_rounds=max_rounds)
-    return read_output(spark, workdir, "articles")
+    arts = read_output(spark, workdir, "articles")
+    # driver-safe projection: the attachments array<struct> breaks pandas
+    # canonicalizers (unhashable lists) — summarize it; the full envelope
+    # stays pinned by tests/test_crawl_equivalence + test_envelope
+    return arts.select(
+        "url",
+        "canonical_url",
+        "title",
+        "content",
+        "content_type",
+        "author_id",
+        "author_name",
+        "time",
+        "lang",
+        "round",
+        "metadata_json",
+        F.size("attachments").alias("n_attachments"),
+        F.md5(F.encode(F.to_json(F.col("attachments")), "utf-8")).alias(
+            "attachments_md5"
+        ),
+        "text_sha256",
+    )

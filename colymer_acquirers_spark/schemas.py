@@ -133,6 +133,7 @@ ARTICLES = T.StructType(
         T.StructField("round", T.IntegerType(), False),
         T.StructField("metadata_json", T.StringType(), True),
         T.StructField("attachments", T.ArrayType(ATTACHMENT), True),
+        T.StructField("text_sha256", T.StringType(), True),
     ]
 )
 

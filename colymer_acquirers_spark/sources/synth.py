@@ -123,13 +123,68 @@ def synth_pages(
         F.transform(F.sequence(F.lit(0), n_links - 1), lambda j: F.format_string("[%d]", j)),
     ).otherwise(F.array().cast("array<string>"))
 
+    # envelope markers (head metadata + media tags; none contribute to the
+    # frozen TEXT rule, so the independent ground-truth `text` column is
+    # unchanged): ~70% of pages carry an author, ~80% a published time,
+    # 0-3 media tags with width/height attrs on some
+    author_meta = F.when(
+        _h(idc, 21, 10) < 7,
+        F.format_string(
+            '<meta name="author" content="Author %d">'
+            '<meta name="author-id" content="u%d">',
+            _h(idc, 22, 50),
+            _h(idc, 22, 50),
+        ),
+    ).otherwise(F.lit(""))
+    published_meta = F.when(
+        _h(idc, 23, 10) < 8,
+        F.concat(
+            F.lit('<meta property="article:published_time" content="'),
+            F.date_format(
+                F.timestamp_seconds(F.lit(1735689600) + _h(idc, 14, 86400 * 30)),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    n_media = _h(idc, 25, 4).cast("int")  # 0..3
+
+    def media_tag(j: Column) -> Column:
+        kind_i = F.pmod(F.xxhash64(idc, j, F.lit(26)), F.lit(3))
+        mid = F.pmod(F.xxhash64(idc, j, F.lit(27)), F.lit(1000))
+        with_dims = F.pmod(F.xxhash64(idc, j, F.lit(28)), F.lit(2)) == 0
+        dims = F.when(
+            with_dims,
+            F.format_string(
+                ' width="%d" height="%d"',
+                (_h(idc, 29, 1920) + 1).cast("int"),
+                (_h(idc, 30, 1080) + 1).cast("int"),
+            ),
+        ).otherwise(F.lit(""))
+        img = F.format_string('<img src="/media/i%d.jpg"', mid)
+        vid = F.format_string('<video src="/media/v%d.mp4"', mid)
+        aud = F.format_string("<audio src='/media/a%d.mp3'", mid)
+        tag = F.when(kind_i == 0, img).when(kind_i == 1, vid).otherwise(aud)
+        return F.concat(tag, dims, F.lit(">"))
+
+    media_tags = F.when(
+        n_media > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_media - 1), media_tag), ""
+        ),
+    ).otherwise(F.lit(""))
+
     html_str = F.concat(
         F.lit("<html><head><title>"),
         title,
-        F.lit("</title><style>p{color:red}</style></head><body><p>"),
+        F.lit("</title>"),
+        author_meta,
+        published_meta,
+        F.lit("<style>p{color:red}</style></head><body><p>"),
         body_html,
         F.lit("</p>"),
         anchors,
+        media_tags,
         F.lit("<script>var x = 1 < 2;</script></body></html>"),
     )
     text = F.array_join(F.concat(F.array(title, body_text), labels), " ")

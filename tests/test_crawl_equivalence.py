@@ -77,22 +77,58 @@ def test_seen_set_equal(spark, golden, engine_run):
     assert eng == golden.seen
 
 
+def _plain(v):
+    """Engine attachment values (Rows via collect, dicts via Arrow
+    toPandas, numpy scalars) → plain python (pyref's native shape)."""
+    if hasattr(v, "asDict"):
+        v = v.asDict()
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    if hasattr(v, "item"):
+        return v.item()
+    return v
+
+
+def _att_to_dict(v):
+    if v is None:
+        return None
+    return [_plain(a) for a in v]
+
+
 def test_articles_byte_identical(spark, golden, engine_run):
     workdir, _ = engine_run
     eng = (
         read_output(spark, workdir, "articles")
         .toPandas()
-        .sort_values("url")
+        .sort_values("canonical_url")
         .reset_index(drop=True)
     )
-    ref = golden.articles.sort_values("url").reset_index(drop=True)
-    assert list(eng["url"]) == list(ref["url"])
-    assert list(eng["text_sha256"]) == list(ref["text_sha256"])
-    assert list(eng["content"]) == list(ref["content"])
-    assert list(eng["title"]) == list(ref["title"])
-    assert list(eng["round"]) == list(ref["round"])
-    # titles come from the synth template — spot-check ground truth
+    ref = golden.articles.sort_values("canonical_url").reset_index(drop=True)
+    for col in [
+        "url",
+        "canonical_url",
+        "title",
+        "content",
+        "content_type",
+        "author_id",
+        "author_name",
+        "lang",
+        "round",
+        "metadata_json",
+        "text_sha256",
+    ]:
+        assert list(eng[col]) == list(ref[col]), col
+    assert list(eng["time"]) == list(ref["time"])
+    assert [
+        _att_to_dict(v) for v in eng["attachments"]
+    ] == list(ref["attachments"])
+    # spot-check ground truth from the synth templates
     assert all(t.startswith("Page ") for t in eng["title"])
+    named = eng["author_name"].dropna()
+    assert len(named) > 0 and all(a.startswith("Author ") for a in named)
+    assert eng["attachments"].map(len).sum() > 0, "fixtures must carry media"
 
 
 def test_extracted_text_matches_ground_truth(spark, web, golden):
@@ -101,7 +137,7 @@ def test_extracted_text_matches_ground_truth(spark, web, golden):
     pages_pd = web[0].toPandas()
     truth = dict(zip(pages_pd["url"], pages_pd["text"]))
     for rec in golden.articles.to_dict("records"):
-        assert rec["content"] == truth[rec["url"]], rec["url"]
+        assert rec["content"] == truth[rec["canonical_url"]], rec["canonical_url"]
 
 
 def test_lineage_matches(spark, golden, engine_run):
