@@ -28,23 +28,42 @@ def with_path(df: DataFrame, url_col: str = "canonical_url") -> DataFrame:
 def robots_filter(
     candidates: DataFrame, robots: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:
-    """Split candidates into (allowed, blocked) by deny-prefix rules.
+    """Split candidates into (allowed, blocked) with real robots.txt
+    precedence: among the rules whose path_prefix matches the candidate's
+    path (same host), the LONGEST prefix wins; on a length tie, allow wins;
+    no matching rule → allowed. (Google REP precedence; generalizes the
+    reference's login/availability gate, scan.py:112-116.)
 
-    robots is per-host, tiny → broadcast join on host with a startswith
-    predicate (the analog of robots.txt longest-prefix would add rank; the
-    fixture grammar is deny-only so any-match suffices).
+    Plan shape: rules collapse to one array<struct> row per host (tiny) →
+    broadcast hash join on host → per-row HOF verdict (filter + array_max
+    over (len, allow) structs). No extra shuffle vs the deny-only version;
+    whole plan stays map-side.
     """
     cand = with_path(candidates)
     if robots is None:
         return cand.drop("path"), cand.limit(0).drop("path")
-    deny = robots.filter(~F.col("allow")).select(
-        F.col("host").alias("__r_host"), F.col("path_prefix").alias("__r_prefix")
+    rules_by_host = robots.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path_prefix").alias("len"),
+                F.col("allow"),
+                F.col("path_prefix").alias("prefix"),
+            )
+        ).alias("__rules")
     )
-    cond = (F.col("host") == F.col("__r_host")) & F.col("path").startswith(
-        F.col("__r_prefix")
+    j = cand.join(F.broadcast(rules_by_host), on="host", how="left")
+    applicable = F.filter(
+        F.col("__rules"), lambda r: F.col("path").startswith(r["prefix"])
     )
-    allowed = cand.join(F.broadcast(deny), on=cond, how="left_anti").drop("path")
-    blocked = cand.join(F.broadcast(deny), on=cond, how="left_semi").drop("path")
+    best = F.array_max(applicable)  # (len, allow) lexicographic: allow>deny
+    is_allowed = (
+        F.col("__rules").isNull()
+        | (F.size(applicable) == 0)
+        | best["allow"]
+    )
+    drop = ["path", "__rules"]
+    allowed = j.filter(is_allowed).drop(*drop)
+    blocked = j.filter(~is_allowed).drop(*drop)
     return allowed, blocked
 
 

@@ -115,11 +115,18 @@ def crawl(
     budget = {
         r["host"]: int(r["max_fetch_per_round"]) for r in politeness.to_dict("records")
     }
-    deny: list[tuple[str, str]] = [
-        (r["host"], r["path_prefix"])
-        for r in robots.to_dict("records")
-        if not r["allow"]
-    ]
+    # robots rules with longest-prefix / allow-wins-ties precedence
+    rules: dict[str, list[tuple[int, bool, str]]] = {}
+    for r in robots.to_dict("records"):
+        rules.setdefault(r["host"], []).append(
+            (len(r["path_prefix"]), bool(r["allow"]), r["path_prefix"])
+        )
+
+    def robots_allowed(host: str, path: str) -> bool:
+        applicable = [
+            t for t in rules.get(host, ()) if path.startswith(t[2])
+        ]
+        return (not applicable) or max(applicable)[1]
 
     # frontier: canonical -> (priority, depth, url, discovered_round)
     frontier: dict[str, tuple[int, int, str, int]] = {}
@@ -170,11 +177,10 @@ def crawl(
         allowed: dict[str, tuple[int, int, str, int]] = {}
         blocked = 0
         for c, v in candidates.items():
-            h, p = _host(c), _path_of(c)
-            if any(h == dh and p.startswith(dp) for dh, dp in deny):
-                blocked += 1
-            else:
+            if robots_allowed(_host(c), _path_of(c)):
                 allowed[c] = v
+            else:
+                blocked += 1
         # 3. politeness
         per_host: dict[str, list[tuple[tuple[int, int, str], str]]] = {}
         for c, (pri, dep, url, disc) in allowed.items():

@@ -222,13 +222,21 @@ def synth_politeness(spark: SparkSession) -> DataFrame:
 
 def synth_robots(spark: SparkSession) -> DataFrame:
     """Deny ``/private/`` on every third host (generalizes the login gate,
-    scan.py:112-116)."""
-    df = spark.range(N_HOSTS).filter(F.pmod(F.col("id"), F.lit(3)) == 1)
-    return df.select(
+    scan.py:112-116), plus a longer allow rule carving ``/private/p/1``
+    back out on those hosts — exercises longest-prefix / allow-wins
+    precedence (real-robots.txt semantics)."""
+    hosts = spark.range(N_HOSTS).filter(F.pmod(F.col("id"), F.lit(3)) == 1)
+    deny = hosts.select(
         F.format_string("host%d.example.com", F.col("id")).alias("host"),
         F.lit("/private/").alias("path_prefix"),
         F.lit(False).alias("allow"),
     )
+    allow = hosts.select(
+        F.format_string("host%d.example.com", F.col("id")).alias("host"),
+        F.lit("/private/p/1").alias("path_prefix"),
+        F.lit(True).alias("allow"),
+    )
+    return deny.unionByName(allow)
 
 
 def write_synth_web(spark: SparkSession, out_dir: str, n: int, n_seeds: int = 8) -> None:
