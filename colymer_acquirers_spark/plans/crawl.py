@@ -26,7 +26,14 @@ from colymer_acquirers_spark.operators.seen_bloom import BLOOM_SCHEMA, BloomSeen
 from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
 from colymer_acquirers_spark.sources.tables import read_table, write_table
 
-OUTPUTS = ["crawl_order", "seen_delta", "articles", "lineage", "frontier_next"]
+OUTPUTS = [
+    "crawl_order",
+    "seen_delta",
+    "articles",
+    "attachments_new",
+    "lineage",
+    "frontier_next",
+]
 
 
 def _round_dir(workdir: str, k: int) -> str:
@@ -71,6 +78,7 @@ def read_output(spark: SparkSession, workdir: str, name: str, upto: int | None =
     schema = {
         "crawl_order": schemas.CRAWL_ORDER,
         "articles": None,
+        "attachments_new": schemas.ATTACHMENTS_NEW,
         "lineage": schemas.LINEAGE,
         "frontier_next": schemas.FRONTIER,
     }[name]
@@ -136,6 +144,36 @@ def read_seen(
     if base is None:
         return delta
     return base if delta is None else base.select("canonical_url").unionByName(delta)
+
+
+def read_pinned(spark: SparkSession, workdir: str, upto: int) -> DataFrame | None:
+    """P7 pinned-attachment-id state after rounds ≤ upto: latest committed
+    compaction + tail deltas (same splice pattern as read_seen)."""
+    d = os.path.join(workdir, "pinned_compact")
+    comps = sorted(
+        int(n)
+        for n in (os.listdir(d) if os.path.isdir(d) else [])
+        if n.isdigit()
+        and os.path.exists(os.path.join(d, n, "_TABLE_COMMIT"))
+        and int(n) <= upto
+    )
+    base = None
+    lo = -1
+    if comps:
+        lo = comps[-1]
+        base = read_table(spark, os.path.join(d, str(lo))).select("id")
+    ks = [k for k in committed_rounds(workdir) if lo < k <= upto]
+    paths = [
+        p
+        for p in (
+            os.path.join(_round_dir(workdir, k), "attachments_new") for k in ks
+        )
+        if os.path.exists(p)
+    ]
+    delta = spark.read.parquet(*paths).select("id") if paths else None
+    if base is None:
+        return delta
+    return base if delta is None else base.unionByName(delta)
 
 
 def run_crawl(
@@ -210,6 +248,7 @@ def run_crawl(
         seen = (
             read_seen(spark, workdir, rnd - 1, seen_base) if rnd > 0 else seen_base
         )
+        pinned_prior = read_pinned(spark, workdir, rnd - 1) if rnd > 0 else None
         bloom = None
         if use_bloom and rnd > 0:
             bloom_path = os.path.join(_round_dir(workdir, rnd - 1), "bloom")
@@ -236,6 +275,7 @@ def run_crawl(
             bloom_filter=bloom_filter,
             metrics_full=metrics_full,
             n_frontier=frontier_count,
+            pinned_prior=pinned_prior,
         )
         if use_bloom:
             # accumulate: OR-merge previous bloom with this round's delta;
@@ -278,6 +318,13 @@ def run_crawl(
                 write_table(
                     compact_seen(full),
                     os.path.join(workdir, "seen_compact", str(rnd)),
+                    mode="overwrite",
+                )
+            pinned_full = read_pinned(spark, workdir, rnd)
+            if pinned_full is not None:
+                write_table(
+                    pinned_full.dropDuplicates(["id"]),
+                    os.path.join(workdir, "pinned_compact", str(rnd)),
                     mode="overwrite",
                 )
 

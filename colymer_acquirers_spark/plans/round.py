@@ -89,6 +89,7 @@ def run_round(
     bloom_filter: BloomSeen | None = None,
     metrics_full: bool = True,
     n_frontier: int | None = None,
+    pinned_prior: DataFrame | None = None,
 ) -> RoundResult:
     """Execute FROZEN SPEC steps 1-9 for round ``rnd`` and write the round's
     outputs (crawl_order, articles, lineage, frontier_next) under out_dir.
@@ -220,6 +221,33 @@ def run_round(
     n_parsed = obs_articles.get["n"]
     n_miss = n_fetched - n_parsed
 
+    # P7: pinned-entry-once state — each attachment (keyed by id = md5 of
+    # its absolute url; all other columns are functions of the url) enters
+    # attachments_new exactly once across the whole crawl (reference:
+    # pin_ids map, twitter.py:13,135-139 → persisted round-to-round state)
+    atts_new = (
+        articles.select(F.lit(rnd).alias("round"), F.explode("attachments").alias("a"))
+        .select(
+            "round",
+            F.col("a.id").alias("id"),
+            F.col("a.original_url").alias("original_url"),
+            F.col("a.content_type").alias("content_type"),
+            F.col("a.filename").alias("filename"),
+        )
+        .dropDuplicates(["id"])
+    )
+    if pinned_prior is not None:
+        atts_new = atts_new.join(
+            pinned_prior.select("id"), on="id", how="left_anti"
+        ).select("round", "id", "original_url", "content_type", "filename")
+    obs_atts = Observation()
+    write_table(
+        atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
+        os.path.join(out_dir, "attachments_new"),
+        mode="overwrite",
+    )
+    n_new_atts = obs_atts.get["n"]
+
     links = (
         parsed.select(
             F.col("canonical_url").alias("src_url"),
@@ -284,6 +312,7 @@ def run_round(
         "fetch_miss": n_miss,
         "parsed": n_parsed,
         "new_urls": n_new,
+        "new_attachments": n_new_atts,
         "frontier_next_count": obs_frontier.get["n"],
         # per-partition fetch counts (north_rule: per-partition metrics),
         # recorded from the rank-offset pass at zero extra cost

@@ -81,8 +81,9 @@ def _path_of(canonical: str) -> str:
 class PyrefResult:
     crawl_order: pd.DataFrame  # rank, url, round
     seen: set[str]
-    articles: pd.DataFrame  # url, content, lang, round, text_sha256
+    articles: pd.DataFrame  # full envelope (see crawl())
     lineage: pd.DataFrame  # round, src_url, dst_url
+    attachments_new: pd.DataFrame  # round, id, original_url, content_type, filename
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -144,6 +145,9 @@ def crawl(
     order_rows: list[tuple[int, str, int]] = []
     article_rows: list[dict] = []
     lineage_rows: list[tuple[int, str, str]] = []
+    # P7 pinned-entry-once state (reference: pin_ids map, twitter.py:13)
+    pinned_ids: set[str] = set()
+    att_rows: list[dict] = []
     metrics: list[dict] = []
     rank = 0
 
@@ -238,6 +242,19 @@ def crawl(
                     "text_sha256": hashlib.sha256(content.encode()).hexdigest(),
                 }
             )
+            for att in article_rows[-1]["attachments"]:
+                if att["id"] in pinned_ids:
+                    continue
+                pinned_ids.add(att["id"])
+                att_rows.append(
+                    {
+                        "round": rnd,
+                        "id": att["id"],
+                        "original_url": att["original_url"],
+                        "content_type": att["content_type"],
+                        "filename": att["filename"],
+                    }
+                )
             raw_links = extract_links_one(page["html"], c)
             if raw_links:
                 canons = canonicalize_url_series(pd.Series(raw_links))
@@ -274,6 +291,9 @@ def crawl(
                 "fetch_miss": miss,
                 "parsed": parsed,
                 "new_urls": len(new_cand),
+                "new_attachments": sum(
+                    1 for a in att_rows if a["round"] == rnd
+                ),
             }
         )
 
@@ -299,5 +319,9 @@ def crawl(
             ],
         ),
         lineage=pd.DataFrame(lineage_rows, columns=["round", "src_url", "dst_url"]),
+        attachments_new=pd.DataFrame(
+            att_rows,
+            columns=["round", "id", "original_url", "content_type", "filename"],
+        ),
         metrics=metrics,
     )

@@ -137,6 +137,20 @@ ARTICLES = T.StructType(
     ]
 )
 
+# -- attachments_new: media descriptors first seen this round — the P7
+#    pinned-entry-once state (reference: in-memory pin_ids map,
+#    colymer/acquirers/twitter.py:13,135-139, generalized to persisted
+#    round-to-round state so each media URL is scheduled for transfer once) -
+ATTACHMENTS_NEW = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("id", T.StringType(), False),
+        T.StructField("original_url", T.StringType(), False),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("filename", T.StringType(), True),
+    ]
+)
+
 # -- crawl order: the deterministic global fetch sequence (north_rule) -------
 CRAWL_ORDER = T.StructType(
     [

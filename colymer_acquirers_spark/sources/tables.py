@@ -63,3 +63,54 @@ def read_table(spark: SparkSession, identifier: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(identifier)
+
+
+def upsert_rows(
+    spark: SparkSession, identifier: str, rows: DataFrame, key_cols: list[str]
+) -> None:
+    """Row-level upsert by key (S13; reference ``put_article`` —
+    ``colymer/sites/colymer.py:33-46``: replace-by-id, insert if absent).
+
+    Catalog path: Iceberg ``MERGE INTO`` (row-level op, no table rewrite).
+    Parquet fallback: anti-join out the replaced keys, union, committed
+    overwrite — the same observable semantics at directory granularity.
+    """
+    if _is_catalog_table(spark, identifier):
+        rows.createOrReplaceTempView("__upsert_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        spark.sql(
+            f"MERGE INTO {identifier} t USING __upsert_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    try:
+        base = read_table(spark, identifier)
+    except FileNotFoundError:
+        write_table(rows, identifier, mode="overwrite")
+        return
+    kept = base.join(rows.select(*key_cols), on=key_cols, how="left_anti")
+    merged = kept.unionByName(rows).localCheckpoint(eager=True)
+    # localCheckpoint materializes BEFORE the overwrite — a lazy plan would
+    # read the very directory it is truncating
+    write_table(merged, identifier, mode="overwrite")
+
+
+def delete_rows(
+    spark: SparkSession, identifier: str, keys: DataFrame, key_cols: list[str]
+) -> None:
+    """Row-level delete by key (S13; reference ``delete_article`` —
+    ``colymer/sites/colymer.py:48-57``)."""
+    if _is_catalog_table(spark, identifier):
+        keys.createOrReplaceTempView("__delete_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        spark.sql(
+            f"MERGE INTO {identifier} t USING __delete_src s ON {on} "
+            "WHEN MATCHED THEN DELETE"
+        )
+        return
+    base = read_table(spark, identifier)
+    remaining = base.join(
+        keys.select(*key_cols), on=key_cols, how="left_anti"
+    ).localCheckpoint(eager=True)
+    write_table(remaining, identifier, mode="overwrite")

@@ -163,3 +163,20 @@ def test_metrics_match(golden, engine_run):
     for ref_m, em in zip(golden.metrics, eng_m):
         for k in ref_m:
             assert em[k] == ref_m[k], (em["round"], k, em[k], ref_m[k])
+
+
+def test_attachments_new_once_per_id(spark, golden, engine_run):
+    """P7: each attachment id enters attachments_new exactly once across
+    the whole crawl, in the round it was first parsed — engine ≡ pyref."""
+    workdir, _ = engine_run
+    eng = (
+        read_output(spark, workdir, "attachments_new")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = golden.attachments_new.sort_values("id").reset_index(drop=True)
+    assert len(eng) > 0
+    assert eng["id"].is_unique
+    for col in ["id", "round", "original_url", "content_type", "filename"]:
+        assert list(eng[col].astype(str)) == list(ref[col].astype(str)), col

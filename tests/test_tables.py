@@ -58,3 +58,36 @@ def test_crawl_round_outputs_are_committed_tables(spark, tmp_path):
             path = os.path.join(wd, "rounds", str(rnd), name)
             assert os.path.exists(os.path.join(path, "_TABLE_COMMIT")), path
             assert read_table(spark, path).count() >= 0
+
+
+def test_upsert_and_delete_rows(spark, tmp_path):
+    """S13 row-level CRUD semantics on the committed-parquet fallback."""
+    from pyspark.sql import functions as F
+
+    from colymer_acquirers_spark.sources.tables import delete_rows, upsert_rows
+
+    path = str(tmp_path / "arts")
+    base = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("v1-"), F.col("id")).alias("content")
+    )
+    write_table(base, path, mode="overwrite")
+
+    # update id=2, insert id=99
+    changes = spark.createDataFrame(
+        [(2, "v2-2"), (99, "v1-99")], ["id", "content"]
+    )
+    upsert_rows(spark, path, changes, ["id"])
+    got = {r["id"]: r["content"] for r in read_table(spark, path).collect()}
+    assert got[2] == "v2-2" and got[99] == "v1-99" and got[0] == "v1-0"
+    assert len(got) == 6
+
+    delete_rows(
+        spark, path, spark.createDataFrame([(0,), (99,)], ["id"]), ["id"]
+    )
+    got = {r["id"]: r["content"] for r in read_table(spark, path).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    # upsert into a missing table creates it
+    path2 = str(tmp_path / "fresh")
+    upsert_rows(spark, path2, changes, ["id"])
+    assert read_table(spark, path2).count() == 2
