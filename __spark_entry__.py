@@ -89,6 +89,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out")
     out["streaming_dedup_articles"] = streaming_dedup_articles
 
+    def crawl_attachments_pipeline(spark, sf):
+        """crawl → attachments_new (P7 once-per-id state) → simulated media
+        transfer → Arrow feature extraction, end-to-end (rows-only; the
+        per-stage oracles live in tests)."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from colymer_acquirers_spark.operators.multimodal import (
+            extract_image_features,
+            media_from_attachments,
+        )
+        from colymer_acquirers_spark.plans.crawl import read_output, run_crawl
+
+        pages = _q.pages_from_documents(spark, sf)
+        seeds = pages.orderBy("url").limit(5).select(
+            "url", F.lit(0).cast("int").alias("priority")
+        )
+        wd = tempfile.mkdtemp(prefix="att_pipeline_")
+        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
+        atts = read_output(spark, wd, "attachments_new")
+        feats = extract_image_features(media_from_attachments(atts))
+        return feats.select("media_id", "n_bytes", "sha256", "mean_byte")
+    out["crawl_attachments_pipeline"] = crawl_attachments_pipeline
+
     def multimodal_image_features(spark, sf):
         from colymer_acquirers_spark.operators.multimodal import (
             extract_image_features,

@@ -7,6 +7,8 @@ implementation is pinned by ``tests/test_envelope.py``.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -197,11 +199,25 @@ def extract_attachments_expr(
 def envelope_expr(
     html: Column | str, base_url: Column | str, is_binary: bool = True
 ) -> Column:
-    """struct<author_id, author_name, published, attachments> in one pass."""
-    h = F.col(html) if isinstance(html, str) else html
+    """struct<author_id, author_name, published, attachments> in one pass.
+
+    By-name form memoized (same rationale as ``parse_page_expr``: large
+    identical tree every round; unresolved Columns are reusable)."""
+    if isinstance(html, str) and isinstance(base_url, str):
+        return _envelope_expr_cached(html, base_url, is_binary)
+    return _envelope_expr(html, base_url, is_binary)
+
+
+@lru_cache(maxsize=32)
+def _envelope_expr_cached(html: str, base_url: str, is_binary: bool) -> Column:
+    return _envelope_expr(F.col(html), F.col(base_url), is_binary)
+
+
+def _envelope_expr(html: Column, base_url: Column, is_binary: bool) -> Column:
+    h = html
     if is_binary:
         h = _as_str(h)
-    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    b = base_url
     return F.struct(
         extract_author_id_expr(h, is_binary=False).alias("author_id"),
         extract_author_expr(h, is_binary=False).alias("author_name"),

@@ -52,6 +52,20 @@ _SCRIPT_RE = r"(?is)<script\b.*?</script" + _WS_CLASS + r"*>"
 _STYLE_RE = r"(?is)<style\b.*?</style" + _WS_CLASS + r"*>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"<[^>]*>"
+# fused single-pass strip: ordered alternation script|style|comment|tag —
+# one scan over the html instead of four (the parse path is memory-
+# bandwidth-bound at high core counts; every full-string pass costs).
+# Ordered-alternation semantics are identical to the sequential passes for
+# all non-pathological inputs and are THE frozen rule (all three
+# implementations — pandas, JVM, pyref — share this constant).
+_STRIP_ALL_RE = "(?is)" + "|".join(
+    [
+        r"<script\b.*?</script" + _WS_CLASS + r"*>",
+        r"<style\b.*?</style" + _WS_CLASS + r"*>",
+        r"<!--.*?-->",
+        r"<[^>]*>",
+    ]
+)
 
 _HREF_RE = re.compile(
     r"""(?is)<a\b[^>]*?\bhref""" + _WS_CLASS + r"*=" + _WS_CLASS + r"""*(?:"([^"]*)"|'([^']*)')"""
@@ -90,10 +104,7 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = _to_str_series(html).astype("object")
     na = s.isna()
     s = s.fillna("")
-    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
-    s = s.str.replace(_STYLE_RE, " ", regex=True)
-    s = s.str.replace(_COMMENT_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_STRIP_ALL_RE, " ", regex=True)
     s = _decode_series(s)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s.where(~na, None)

@@ -91,6 +91,45 @@ def synth_media(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def media_from_attachments(attachments_new: DataFrame) -> DataFrame:
+    """Bridge the crawl's attachment descriptors (``attachments_new`` round
+    output — id/original_url/content_type/filename) into the media table the
+    multimodal operators consume.
+
+    The fetch of the media bytes is SIMULATED (like the page fetch): payload
+    bytes derive deterministically from the original_url, and width/height/
+    duration metadata is synthesized per kind. In production this step is
+    the transfer worker (reference persist_info.directly_transfer path,
+    ``colymer/acquirers/weibo.py:43-46``); everything downstream — feature
+    extraction, frame sampling — is identical.
+    """
+    kind = F.split(F.col("content_type"), "/")[0]
+    kind = (
+        F.when(kind.isin("image", "img"), F.lit("image"))
+        .when(kind == "video", F.lit("video"))
+        .when(kind == "audio", F.lit("audio"))
+        .otherwise(F.lit("image"))
+    )
+    u = F.col("original_url")
+    payload = F.encode(
+        F.concat(*[F.md5(F.encode(F.concat(u, F.lit(f"#{i}")), "utf-8")) for i in range(8)]),
+        "utf-8",
+    )
+    meta = F.struct(
+        (F.pmod(F.xxhash64(u, F.lit(2)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(u, F.lit(3)), F.lit(1080)) + 16).cast("int").alias("height"),
+        F.pmod(F.xxhash64(u, F.lit(4)), F.lit(600000)).cast("long").alias("duration_ms"),
+        F.lit(44100).alias("sample_rate"),
+        F.element_at(F.split(F.col("content_type"), "/"), -1).alias("format"),
+    )
+    return attachments_new.select(
+        F.xxhash64(F.col("id")).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
 def _fake_image_features(batch: pd.DataFrame) -> pd.DataFrame:
     """DETERMINISTIC FAKE decode: byte statistics instead of pixel decode.
 
@@ -154,17 +193,35 @@ def sample_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_payload": []}
-            for _, row in batch.iterrows():
-                dur = row["meta"]["duration_ms"] if row["meta"] is not None else 0
-                n = min(max_frames, max(int(dur // every_ms), 1))
-                payload = row["payload"]
-                step = max(len(payload) // max(n, 1), 1)
-                for i in range(n):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_payload"].append(payload[i * step : i * step + 16])
-            yield pd.DataFrame(out)
+            if not len(batch):
+                continue
+            # vectorized over the Arrow batch: per-row frame counts from the
+            # duration column, then one repeat/concat for the whole batch
+            # (no per-row Python loop; real decode would slot in per frame)
+            dur = batch["meta"].map(
+                lambda m: m["duration_ms"] if m is not None else 0
+            )
+            n = (dur // every_ms).clip(lower=1, upper=max_frames).astype(int)
+            media_id = batch["media_id"].repeat(n).to_numpy()
+            frame_idx = [i for k in n for i in range(k)]
+            payloads = batch["payload"].repeat(n).to_numpy()
+            steps = (
+                (batch["payload"].map(len) // n.clip(lower=1))
+                .clip(lower=1)
+                .repeat(n)
+                .to_numpy()
+            )
+            frame_payload = [
+                p[i * s : i * s + 16]
+                for p, i, s in zip(payloads, frame_idx, steps)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": media_id,
+                    "frame_idx": frame_idx,
+                    "frame_payload": frame_payload,
+                }
+            )
 
     return (
         media.filter(F.col("kind") == "video")

@@ -72,6 +72,7 @@ def politeness_split(
     politeness: DataFrame | None,
     default_budget: int = 1_000_000,
     skew_salt: int = 16,
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split allowed candidates into (fetched, carryover) per FROZEN SPEC
     step 3: per host, the first budget(host) rows in sort_key order fetch
@@ -117,6 +118,12 @@ def politeness_split(
 
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn("__rn", F.row_number().over(w2))
+    if persisted is not None:
+        # both split halves derive from `ranked`; caching it makes the
+        # join + two-window chain run once per round instead of once per
+        # half (the caller owns the unpersist after its terminal actions)
+        ranked = ranked.persist()
+        persisted.append(ranked)
     fetched = _clean(ranked.filter(F.col("__rn") <= F.col("__b")))
     carryover = _clean(ranked.filter(F.col("__rn") > F.col("__b")))
     if pruned is not None:

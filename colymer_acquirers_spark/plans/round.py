@@ -22,6 +22,7 @@ the data, is what dominates wall-clock at the small end.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
@@ -129,8 +130,11 @@ def run_round(
     allowed, blocked = robots_filter(candidates, robots)
     n_blocked = 0 if robots is None else (blocked.count() if metrics_full else -1)
 
-    # 3. politeness budget split
-    fetched, carryover = politeness_split(allowed, politeness, default_budget)
+    # 3. politeness budget split (ranked intermediate cached so the
+    # join+window chain runs once, not once per split half)
+    fetched, carryover = politeness_split(
+        allowed, politeness, default_budget, persisted=extra_persisted
+    )
     fetched = fetched.persist()
 
     # 4. deterministic global order (scalable rank, not a single window);
@@ -144,10 +148,6 @@ def run_round(
     crawl_order = ranked.select(
         "rank", F.col("canonical_url").alias("url"), F.lit(rnd).alias("round")
     )
-    # all round outputs go through the Iceberg-shaped table layer (catalog
-    # tables in production; committed parquet dirs in this sandbox) — the
-    # round manifest remains the round-level commit marker
-    write_table(crawl_order, os.path.join(out_dir, "crawl_order"), mode="overwrite")
     n_carryover = (
         n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
     )
@@ -212,12 +212,28 @@ def run_round(
         F.col("env.attachments").alias("attachments"),
         F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
     )
+    # all round outputs go through the Iceberg-shaped table layer (catalog
+    # tables in production; committed parquet dirs here) — the round
+    # manifest remains the round-level commit marker. Independent writes
+    # run as CONCURRENT driver jobs in dependency phases (Spark interleaves
+    # their tasks, filling executor slots one sequential job would idle):
+    #   phase A: crawl_order (ranked cache) ∥ articles (materializes parsed)
+    #   phase B: attachments_new (parsed)  ∥ lineage (materializes links)
+    #   phase C: frontier_next (links)     ∥ new-url metric count
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def _write(df, name):
+        write_table(df, os.path.join(out_dir, name), mode="overwrite")
+
     obs_articles = Observation()
-    write_table(
+    fa = pool.submit(_write, crawl_order, "crawl_order")
+    fb = pool.submit(
+        _write,
         articles.observe(obs_articles, F.count(F.lit(1)).alias("n")),
-        os.path.join(out_dir, "articles"),
-        mode="overwrite",
+        "articles",
     )
+    fa.result()
+    fb.result()
     n_parsed = obs_articles.get["n"]
     n_miss = n_fetched - n_parsed
 
@@ -240,14 +256,6 @@ def run_round(
         atts_new = atts_new.join(
             pinned_prior.select("id"), on="id", how="left_anti"
         ).select("round", "id", "original_url", "content_type", "filename")
-    obs_atts = Observation()
-    write_table(
-        atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
-        os.path.join(out_dir, "attachments_new"),
-        mode="overwrite",
-    )
-    n_new_atts = obs_atts.get["n"]
-
     links = (
         parsed.select(
             F.col("canonical_url").alias("src_url"),
@@ -262,7 +270,17 @@ def run_round(
     lineage = links.select(
         F.lit(rnd).alias("round"), "src_url", "dst_url"
     ).dropDuplicates(["src_url", "dst_url"])
-    write_table(lineage, os.path.join(out_dir, "lineage"), mode="overwrite")
+
+    obs_atts = Observation()
+    fa = pool.submit(
+        _write,
+        atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
+        "attachments_new",
+    )
+    fb = pool.submit(_write, lineage, "lineage")
+    fa.result()
+    fb.result()
+    n_new_atts = obs_atts.get["n"]
 
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
     seen_now = (
@@ -280,9 +298,6 @@ def run_round(
         )
         .join(seen_now, on="canonical_url", how="left_anti")
     )
-    n_new = (
-        new_cands.select("canonical_url").distinct().count() if metrics_full else -1
-    )
 
     # 9. merge next frontier (boundary-deferred rows re-enter unchanged)
     nxt = carryover.select(
@@ -296,11 +311,16 @@ def run_round(
         )
     frontier_next = merge_frontier(nxt).withColumn("host", host_of("canonical_url"))
     obs_frontier = Observation()
-    write_table(
+    fa = pool.submit(
+        _write,
         frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")),
-        os.path.join(out_dir, "frontier_next"),
-        mode="overwrite",
+        "frontier_next",
     )
+    n_new = (
+        new_cands.select("canonical_url").distinct().count() if metrics_full else -1
+    )
+    fa.result()
+    pool.shutdown(wait=True)
 
     metrics = {
         "round": rnd,

@@ -45,16 +45,30 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t1 = (d * 7 + 3) % n
     t2 = (d * 13 + 5) % n
+    # envelope markers (author meta + media tag) — no contribution to the
+    # frozen TEXT rule, so the ground-truth text identity is unchanged
+    author = F.when(
+        (d % 3) > 0,
+        F.format_string('<meta name="author" content="Author %d">', d % 37),
+    ).otherwise(F.lit(""))
+    media = F.when(
+        (d % 2) == 0,
+        F.format_string('<img src="/m/i%d.jpg" width="%d">', d, d % 1920 + 1),
+    ).otherwise(F.lit(""))
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         d.cast("string"),
-        F.lit("</title></head><body><p>"),
+        F.lit("</title>"),
+        author,
+        F.lit("</head><body><p>"),
         F.col("text"),
         F.lit('</p><a href="'),
         url_of(t1),
         F.lit('">[0]</a><a href="'),
         url_of(t2),
-        F.lit('">[1]</a></body></html>'),
+        F.lit('">[1]</a>'),
+        media,
+        F.lit("</body></html>"),
     )
     return docs.select(
         url_of(d).alias("url"),
@@ -576,6 +590,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["article_envelope_extract"] = article_envelope_extract
 
+    # robots longest-prefix / allow-wins precedence (P14) under a DuckDB
+    # oracle: engine-side robots_filter vs a window-ranked SQL mirror
+    def robots_precedence_filter(spark, sf):
+        from colymer_acquirers_spark.operators.politeness import robots_filter
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        host = F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".test"))
+        path = F.when((i % 10) < 4, F.concat(F.lit("/private/p/"), i.cast("string"))).otherwise(
+            F.when((i % 10) < 6, F.concat(F.lit("/private/ok/"), i.cast("string"))).otherwise(
+                F.concat(F.lit("/p/"), i.cast("string"))
+            )
+        )
+        cand = d.select(
+            i.alias("doc_id"),
+            F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+            host.alias("host"),
+        )
+        rules = spark.createDataFrame(
+            [
+                ("h0.test", "/private/", False),
+                ("h0.test", "/private/ok/", True),
+                ("h1.test", "/private/", False),
+                ("h2.test", "/", False),
+                ("h2.test", "/p/", True),
+            ],
+            ["host", "path_prefix", "allow"],
+        )
+        allowed, _ = robots_filter(cand, rules)
+        return allowed.select("doc_id", "canonical_url")
+    q["robots_precedence_filter"] = robots_precedence_filter
+
     # embedding near-dup pairs (bounded id range; ids only — float-safe)
     def embedding_near_dup_pairs(spark, sf):
         e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
@@ -872,6 +918,35 @@ def oracle_sql() -> dict[str, str]:
                              || '.test/m/i' || CAST(doc_id AS VARCHAR) || '.jpg') END
                      AS att_id
             FROM documents
+        """,
+        "robots_precedence_filter": """
+            WITH cand AS (
+              SELECT doc_id,
+                     'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.test' ||
+                     CASE WHEN doc_id % 10 < 4 THEN '/private/p/' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 10 < 6 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                          ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS canonical_url,
+                     'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+                     CASE WHEN doc_id % 10 < 4 THEN '/private/p/' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 10 < 6 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                          ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+              FROM documents),
+            rules AS (
+              SELECT * FROM (VALUES
+                ('h0.test', '/private/', FALSE),
+                ('h0.test', '/private/ok/', TRUE),
+                ('h1.test', '/private/', FALSE),
+                ('h2.test', '/', FALSE),
+                ('h2.test', '/p/', TRUE)) AS t(host, path_prefix, allow)),
+            verdict AS (
+              SELECT c.doc_id, c.canonical_url, r.allow,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.doc_id
+                       ORDER BY LEN(r.path_prefix) DESC, r.allow DESC) AS rn
+              FROM cand c JOIN rules r
+                ON c.host = r.host AND c.path LIKE r.path_prefix || '%')
+            SELECT doc_id, canonical_url FROM cand
+            WHERE doc_id NOT IN (SELECT doc_id FROM verdict WHERE rn = 1 AND NOT allow)
         """,
         "embedding_near_dup_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 150)

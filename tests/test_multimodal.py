@@ -59,3 +59,31 @@ def test_frame_sampling_shape(media):
     for idxs in by_id.values():
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) <= 4
+
+
+def test_media_from_attachments_bridge(spark):
+    """attachments_new (crawl output) → media table → features/frames: the
+    full multimodal dataflow over crawl-derived descriptors."""
+    from colymer_acquirers_spark.operators.multimodal import (
+        extract_image_features,
+        media_from_attachments,
+    )
+
+    atts = spark.createDataFrame(
+        [
+            (0, "a" * 32, "https://h.com/m/x.jpg", "image/jpeg", "x.jpg"),
+            (0, "b" * 32, "https://h.com/m/y.mp4", "video/mp4", "y.mp4"),
+            (1, "c" * 32, "https://h.com/m/z.mp3", "audio/mpeg", "z.mp3"),
+            (1, "d" * 32, "https://h.com/m/w.png", "image/png", "w.png"),
+        ],
+        ["round", "id", "original_url", "content_type", "filename"],
+    )
+    media = media_from_attachments(atts)
+    rows = {r["kind"] for r in media.collect()}
+    assert rows == {"image", "video", "audio"}
+    # deterministic: same descriptors → identical payloads
+    p1 = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    p2 = {r["media_id"]: bytes(r["payload"]) for r in media_from_attachments(atts).collect()}
+    assert p1 == p2
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 2 and all(f["n_bytes"] == 256 for f in feats)
