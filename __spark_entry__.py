@@ -75,6 +75,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_cosine_topk_lsh(e, qv, dim=len(qv), k=10, n_planes=8)
     out["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        from colymer_acquirers_spark.operators.similarity import (
+            ann_cosine_topk_ivf,
+        )
+
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        return ann_cosine_topk_ivf(e, qv, k=10, n_centroids=8, n_probe=3)
+    out["ann_ivf_topk"] = ann_ivf_topk
+
     def streaming_dedup_articles(spark, sf):
         import tempfile
 
@@ -88,6 +98,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_dedup_articles(spark, pages_dir, f"{base}/ckpt", f"{base}/out")
         return spark.read.parquet(f"{base}/out")
     out["streaming_dedup_articles"] = streaming_dedup_articles
+
+    def streaming_host_sessions(spark, sf):
+        """Z6 custom stateful operator (applyInPandasWithState session
+        windows with event-time timeout); batch-sessionization oracle in
+        tests/test_streaming.py."""
+        import tempfile
+
+        from colymer_acquirers_spark.streaming.stream_crawl import (
+            stream_host_sessions,
+        )
+
+        base = tempfile.mkdtemp(prefix="sessions_q_")
+        pages_dir = f"{base}/pages"
+        _q.pages_from_documents(spark, sf).write.mode("overwrite").parquet(pages_dir)
+        stream_host_sessions(spark, pages_dir, f"{base}/ckpt", f"{base}/out")
+        return spark.read.parquet(f"{base}/out")
+    out["streaming_host_sessions"] = streaming_host_sessions
 
     def crawl_attachments_pipeline(spark, sf):
         """crawl → attachments_new (P7 once-per-id state) → simulated media

@@ -175,3 +175,70 @@ def embedding_near_dups_lsh(
         .filter(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (argmin L2) via JVM expressions over centroid literals.
+
+    Centroids are plan constants — derived offline (k-means on a sample) or,
+    as in `ann_cosine_topk_ivf`, taken deterministically. At 10^10 rows the
+    assignment is one embarrassingly-parallel projection; the cluster id
+    becomes the partition/bucket key for the inverted file.
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    def dist2(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.lit(0)
+    best_d = dist2(centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dist2(c)
+        cond = d < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn(out_col, best)
+
+
+def ann_cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: coarse-quantize vectors to n_centroids cells,
+    scan only the n_probe cells nearest the query (exact cosine inside).
+
+    Centroid choice here is deterministic-from-data (the n_centroids
+    lowest-id vectors) so results are reproducible without a k-means
+    dependency; production would plug in sampled k-means centroids. Scale
+    shape: one filter on the cluster column (partition-prunable when the
+    table is written bucketed/partitioned by cluster) + exact top-k on
+    ~n_probe/n_centroids of the data.
+    """
+    import numpy as np
+
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=float)
+    d2 = [float(((np.asarray(c) - q) ** 2).sum()) for c in cents]
+    probe = sorted(np.argsort(d2)[:n_probe].tolist())
+    cand = assigned.filter(F.col("cluster").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -72,7 +72,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         url_of(d).alias("url"),
-        F.timestamp_seconds(F.lit(1704067200) + d).alias("warc_ts"),
+        # 4-minute spacing: per-host fetch gaps (~17 docs apart) exceed the
+        # 30-min session gap, so the stateful session operator genuinely
+        # opens/closes sessions over this view
+        F.timestamp_seconds(F.lit(1704067200) + d * 240).alias("warc_ts"),
         F.encode(html, "utf-8").alias("html"),
         F.concat(
             F.lit("Doc "), d.cast("string"), F.lit(" "), F.col("text"),

@@ -81,3 +81,114 @@ def stream_hourly_lang_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_host_sessions(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap_minutes: int = 30,
+) -> None:
+    """Custom stateful operator (Z6): per-host crawl SESSIONS via
+    ``applyInPandasWithState`` — consecutive page fetches on a host with
+    event-time gaps below ``gap_minutes`` fold into one session row
+    (start/end/n_pages), emitted when the watermark passes the gap (state
+    timeout on event time).
+
+    Generalizes the reference's per-site serialized request pacing
+    (``colymer/sites/site.py:30-41``): the state the reference keeps
+    implicitly in its single thread (last-request time per site) becomes
+    explicit keyed state the cluster maintains per host across batches.
+    Arrow-batched (one pandas frame per host per trigger) — no per-row
+    Python.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from colymer_acquirers_spark.functions.canonical import host_of
+
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("session_start", T.TimestampType(), False),
+            T.StructField("session_end", T.TimestampType(), False),
+            T.StructField("n_pages", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ms", T.LongType(), False),
+            T.StructField("end_ms", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    gap_ms = gap_minutes * 60_000
+
+    def update(key, pdfs, state: GroupState):
+        (host,) = key
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "host": [host],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_pages": [n],
+                }
+            )
+            return
+        ts = pd.concat([pdf["warc_ts"] for pdf in pdfs]).sort_values()
+        ms = (ts.astype("int64") // 1_000_000).tolist()
+        sessions = []
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = ms[0], ms[0], 0
+        for t in ms:
+            if t - end_ms > gap_ms:
+                sessions.append((start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+            else:
+                end_ms = max(end_ms, t)
+                n += 1
+        state.update((start_ms, end_ms, n))
+        # event-time timeout: close the open session once the watermark
+        # passes its end + gap
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "host": [host] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in sessions],
+                    "n_pages": [n for _, _, n in sessions],
+                }
+            )
+
+    stream = (
+        spark.readStream.schema(schemas.PAGES)
+        .parquet(pages_dir)
+        .withColumn("host", host_of(canonicalize_url("url")))
+        .filter(F.col("host").isNotNull())
+        .withWatermark("warc_ts", f"{gap_minutes} minutes")
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

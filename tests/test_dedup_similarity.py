@@ -229,3 +229,32 @@ def test_ngram_jaccard_dfcap_underestimates_only(spark):
     # every pairwise intersection was exactly that shingle, so no pairs remain
     assert capped == {}
     assert len(exact) == 15
+
+
+def test_ivf_assignment_and_recall(vectors):
+    """IVF: assignment matches numpy argmin; probing more cells reaches
+    exact top-k (n_probe = n_centroids ⇒ exhaustive)."""
+    from colymer_acquirers_spark.operators.similarity import (
+        ann_cosine_topk_ivf,
+        ivf_assign,
+    )
+
+    vecs, df = vectors
+    cents = [list(map(float, vecs[i])) for i in range(8)]
+    got = {r["vec_id"]: r["cluster"] for r in ivf_assign(df, cents).collect()}
+    C = np.asarray(cents)
+    for i in range(len(vecs)):
+        exp = int(np.argmin(((C - vecs[i]) ** 2).sum(axis=1)))
+        assert got[i] == exp, i
+
+    q = vecs[3]
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exact = list(np.argsort(-sims)[:10])
+    # exhaustive probe == exact brute force
+    full = [r["vec_id"] for r in
+            ann_cosine_topk_ivf(df, list(q), 10, n_centroids=8, n_probe=8).collect()]
+    assert full == exact
+    # partial probe: meaningful overlap, and the query's own cell is probed
+    part = [r["vec_id"] for r in
+            ann_cosine_topk_ivf(df, list(q), 10, n_centroids=8, n_probe=2).collect()]
+    assert 3 in part and len(set(part) & set(exact)) >= 3
