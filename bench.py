@@ -231,6 +231,13 @@ register-bound burn shows none, i.e. the extra cycles are memory stalls,
 not engine work. On a real N→4N cluster both effects shrink: executors are
 separate JVMs on separate machines (per-node bandwidth and per-node driver
 concurrency scale with N), which is what the CPU-work witness isolates.
+
+## Workload note
+
+Every crawl round extracts the full article envelope (author/time/
+attachments JVM regex over html) and writes six outputs including the
+attachments_new P7 state — throughput is not comparable to rounds that
+emitted the thin article schema.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

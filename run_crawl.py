@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--parse-impl", choices=["jvm", "arrow"], default="jvm")
     ap.add_argument("--fast-metrics", action="store_true",
                     help="skip metrics-only count jobs")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="compact seen/pinned state every K rounds (0=never)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="run_crawl", master=args.master)
@@ -71,6 +73,7 @@ def main() -> int:
         resume=not args.fresh, boundary_mode=args.boundary_mode,
         use_bloom=args.use_bloom, parse_impl=args.parse_impl,
         metrics_full=not args.fast_metrics,
+        compact_every=args.compact_every,
     )
     print(json.dumps(summary, default=int))
     return 0
