@@ -3,14 +3,15 @@
 
 Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
+  {"metric": ..., "value": <crawl URLs/sec>, "unit": "urls/sec",
+   "suite_sec": <total>, "queries": {name: sec, ...}, "sf": ...,
    "crawl_urls_per_sec": <north-metric throughput>}
 
---scaling mode: runs the crawl benchmark at local[8] and local[32] (N and 4N
-cores — the sandbox proxy for N vs 4N executors, BASELINE.md protocol) in
-fresh subprocesses and writes BENCH/BASELINE.md with both throughputs and the
-scaling efficiency.
+--scaling mode: runs the crawl benchmark at local[2] and local[8] (N and 4N
+cores — the sandbox proxy for N vs 4N executors, BASELINE.md protocol), each
+level CPU-affinity-pinned to exactly its core budget, in fresh subprocesses,
+and writes BENCH/BASELINE.md with both throughputs, the wall scaling
+efficiency, and the steal-independent CPU-work witness.
 """
 
 from __future__ import annotations
@@ -146,11 +147,11 @@ SCALE_REPEAT = int(os.environ.get("BENCH_SCALE_REPEAT", "2"))
 def run_scaling() -> None:
     """N vs 4N cores on the same crawl input (BASELINE.md protocol).
 
-    Default local[2] vs local[8]: this sandbox is a microVM with 15-35%%
-    CPU steal — only ~8 host cores are really available, so local[32]
-    measures host contention, not engine scaling. local[2]→local[8] keeps
-    the 4N level inside real capacity (the brief's "N and 4N cores").
-    Best-of-SCALE_REPEAT per level damps steal-time noise.
+    Levels are affinity-pinned (see run_crawl_only): "N cores" means N
+    cores even for the JVM's GC/JIT/IO threads. local[2] vs local[8] keeps
+    both levels inside measured host capacity (a pure-CPU burn scales
+    1→8 procs at 0.99 on this box; 32 threads degrade to 0.76).
+    Best-of-SCALE_REPEAT per level damps the ±15-20%% run variance.
     """
     # scaling-specific workload: bigger rounds + realistic page sizes so the
     # core-scalable work (parse/join/dedup) dominates per-round fixed costs
