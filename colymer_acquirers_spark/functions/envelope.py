@@ -149,9 +149,15 @@ def extract_published_series(html: pd.Series) -> pd.Series:
     def parse(v):
         if v is None or not _ISO_Z_RE.match(v):
             return None
-        return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ").replace(
-            tzinfo=timezone.utc
-        )
+        # the shape regex admits calendar-invalid values (month 13, day 32,
+        # hour 25); the JVM mirror's try_to_timestamp yields NULL for those,
+        # so the frozen rule is "calendar-invalid → NULL" in every impl
+        try:
+            return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError:
+            return None
 
     # explicit object dtype: pandas would otherwise coerce to datetime64 and
     # silently turn None into NaT (breaking the None-vs-value contract)

@@ -74,17 +74,21 @@ def extract_author_id_expr(html: Column | str, is_binary: bool = True) -> Column
 
 
 def extract_published_expr(html: Column | str, is_binary: bool = True) -> Column:
-    """FROZEN RULE 3: strict ``yyyy-mm-ddThh:mm:ssZ`` → timestamp else NULL
-    (non-ANSI to_timestamp returns NULL on mismatch; the rlike pre-filter
-    makes the intent explicit)."""
+    """FROZEN RULE 3: strict ``yyyy-mm-ddThh:mm:ssZ`` → timestamp else NULL.
+
+    try_to_timestamp (not to_timestamp): the rlike pre-filter only checks
+    digit SHAPE, so calendar-invalid values (month 13, hour 25) reach the
+    parse — try_to_timestamp yields NULL for them in BOTH ANSI modes,
+    matching the Python oracle's try/except (ANSI-on plain to_timestamp
+    would throw; the driver's session runs ANSI-on)."""
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
     raw = _meta_expr(s, "property", "article:published_time")
     ok = raw.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
-    return F.when(ok, F.to_timestamp(raw, "yyyy-MM-dd'T'HH:mm:ss'Z'")).otherwise(
-        F.lit(None).cast("timestamp")
-    )
+    return F.when(
+        ok, F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    ).otherwise(F.lit(None).cast("timestamp"))
 
 
 def _ext_map() -> Column:
@@ -95,7 +99,15 @@ def _ext_map() -> Column:
 
 
 def page_content_type_expr(url: Column | str) -> Column:
-    """FROZEN RULE 4 ladder over the (canonical) url."""
+    """FROZEN RULE 4 ladder over the (canonical) url.
+
+    try_element_at on the extension map: ANSI-on element_at throws
+    MAP_KEY_DOES_NOT_EXIST for unknown extensions — the ladder's fallback
+    to octet-stream RELIES on a NULL lookup, so the try_ variant is the
+    only mode-stable spelling. Explicit NULL-url guard: without it the
+    null scheme nulls the outer when-condition and the ladder's coalesce
+    would emit 'application/octet-stream' where the Python oracle
+    (page_content_type_one) returns None."""
     u = F.col(url) if isinstance(url, str) else url
     strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
     ut = F.regexp_replace(u, strip_re, "")
@@ -114,12 +126,14 @@ def page_content_type_expr(url: Column | str) -> Column:
         F.when(ext == "", F.lit("text/html"))
         .otherwise(
             F.coalesce(
-                F.element_at(F.create_map(*page_pairs), ext),
+                F.try_element_at(F.create_map(*page_pairs), ext),
                 F.lit("application/octet-stream"),
             )
         )
     )
-    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(ladder)
+    return F.when(
+        u.isNull() | (scheme == ""), F.lit(None).cast("string")
+    ).otherwise(ladder)
 
 
 def extract_attachments_expr(
@@ -151,11 +165,14 @@ def extract_attachments_expr(
         path = F.when(path == "", F.lit("/")).otherwise(path)
         filename = F.element_at(F.split(path, "/"), -1)
         ext = F.lower(F.regexp_extract(filename, _EXT_RE, 1))
+        # try_element_at: unknown extensions must fall through the coalesce
+        # as NULL, not throw MAP_KEY_DOES_NOT_EXIST under ANSI-on sessions
         ctype = F.when(
             ext == "", F.concat(kind, F.lit("/unknown"))
         ).otherwise(
             F.coalesce(
-                F.element_at(_ext_map(), ext), F.concat(kind, F.lit("/unknown"))
+                F.try_element_at(_ext_map(), ext),
+                F.concat(kind, F.lit("/unknown")),
             )
         )
         att_id = F.md5(F.encode(abs_url, "utf-8"))

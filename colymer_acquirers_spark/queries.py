@@ -579,7 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("</head><body>"), img, F.lit("</body></html>"),
         )
         atts = extract_attachments_expr(html, url, is_binary=False)
-        first = F.element_at(atts, 1)
+        # try_element_at: the attachments array is EMPTY for doc_id % 4 == 0
+        # rows; plain element_at(…, 1) throws under the driver's ANSI-on
+        # session (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) even though the engine's
+        # own factory runs ANSI-off. try_element_at returns NULL in both modes.
+        first = F.try_element_at(atts, F.lit(1))
         return d.select(
             i.alias("doc_id"),
             extract_author_expr(html, is_binary=False).alias("author_name"),

@@ -1,0 +1,52 @@
+"""ANSI-on smoke for the rows-only catalog entries.
+
+The per-round driver materializes EVERY ``__spark_entry__.queries()`` entry
+in its own session (Spark 4 default: ``spark.sql.ansi.enabled=true``); the
+oracle-less ("rows-only") entries get no DuckDB comparison, so an
+ANSI-mode crash there surfaces only as a red CORRECTNESS row. This module
+runs each rows-only entry at sf0.001 with ANSI forced ON and asserts it
+materializes — the cheap half of the driver contract the oracle-pairs
+module can't cover. (Value-level oracles for these live in their own
+suites: pyref equivalence, pure-Python truth, plan assertions.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from colymer_acquirers_spark.queries import oracle_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(oracle_sql()))
+
+
+@pytest.fixture(autouse=True)
+def ansi_on(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_rows_only_inventory_is_explicit():
+    # additions to the oracle-less set must be a conscious choice
+    assert ROWS_ONLY == [
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "crawl_attachments_pipeline",
+        "embedding_near_dup_lsh_pairs",
+        "flagship_crawl_articles",
+        "minhash_lsh_candidate_pairs",
+        "multimodal_image_features",
+        "simhash_near_dup_pairs",
+        "streaming_dedup_articles",
+        "streaming_host_sessions",
+    ], ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_materializes_under_ansi(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0

@@ -53,7 +53,20 @@ FIXTURES = [
     '<IMG SRC="/M/UP.JPG" WIDTH=320>',
     "no markers at all",
     "",
+    # shape-valid but CALENDAR-invalid published values: month 13, day 32,
+    # hour 25 pass the digit-shape rlike — must be NULL in every impl
+    # (Python try/except ≡ JVM try_to_timestamp), not a crash or divergence
+    '<meta property="article:published_time" content="2025-13-01T00:00:00Z">',
+    '<meta property="article:published_time" content="2025-01-32T00:00:00Z">',
+    '<meta property="article:published_time" content="2025-01-01T25:00:00Z">',
 ]
+
+
+def test_published_calendar_invalid_is_null():
+    """ADVICE r2: strptime used to CRASH on 2025-13-01T00:00:00Z (the
+    shape regex admits it); both impls must now agree on NULL."""
+    bad = pd.Series([FIXTURES[-3], FIXTURES[-2], FIXTURES[-1]])
+    assert list(extract_published_series(bad)) == [None, None, None]
 
 
 def test_envelope_jvm_matches_python(spark):
@@ -140,6 +153,9 @@ def test_page_content_type_ladder(spark):
         "https://h.com": "text/html",
         "https://h.com/x.TXT?q=1": "text/plain",
         "not a url": None,
+        # NULL url: the JVM expr used to fall through its ladder to
+        # octet-stream (null scheme nulls the outer when); frozen rule = NULL
+        None: None,
     }
     for url, exp in cases.items():
         assert page_content_type_one(url) == exp, url

@@ -1,6 +1,13 @@
 """Driver-mimic: every queries()[name] must match oracle_sql()[name] on
 DuckDB over the same parquet (row count + schema-ish + order-insensitive
-values), the way the per-round CORRECTNESS check runs (SURVEY.md §5.3)."""
+values), the way the per-round CORRECTNESS check runs (SURVEY.md §5.3).
+
+ANSI-ON GATE: the driver evaluates queries() in ITS session, where Spark 4
+defaults ``spark.sql.ansi.enabled=true``; the engine factory pins it false
+(session.py). Round 2 shipped a query that was green under the engine
+session and red under the driver's (ANSI element_at on an empty array) —
+so this module forces ANSI ON around every Spark-side execution. Nothing
+in the catalog may rely on non-ANSI semantics."""
 
 from __future__ import annotations
 
@@ -15,6 +22,15 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+
+@pytest.fixture(autouse=True)
+def ansi_on(spark):
+    """Run every test in this module under driver-like ANSI semantics."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 @pytest.fixture(scope="module")
