@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,6 +66,32 @@ def read_table(spark: SparkSession, identifier: str, schema=None) -> DataFrame:
     return reader.parquet(identifier)
 
 
+def _replace_committed(df: DataFrame, identifier: str) -> None:
+    """Rewrite a parquet-fallback table WITHOUT destroying the prior copy.
+
+    The old scheme (localCheckpoint + in-place overwrite) deleted the only
+    committed copy before the rewrite finished: localCheckpoint blocks are
+    executor-lifetime, non-replicated state, so an executor loss / OOM /
+    kill mid-write left the table uncommitted AND unrecoverable. Instead:
+    write the merged result to a sibling staging dir as a fully COMMITTED
+    table (the expensive, failure-prone distributed write happens while the
+    old directory is still intact and readable), then swap via two cheap
+    directory renames. A crash between the renames leaves the prior
+    committed state under ``<identifier>.__old`` and the new committed
+    state under ``.__staging`` — both recoverable; readers never observe a
+    half-written table because they key off the ``_TABLE_COMMIT`` marker.
+    (The Iceberg catalog path gets this from MERGE snapshot isolation.)
+    """
+    ident = os.path.normpath(identifier)
+    staging, old = ident + ".__staging", ident + ".__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    write_table(df, staging, mode="overwrite")
+    os.rename(ident, old)
+    os.rename(staging, ident)
+    shutil.rmtree(old)
+
+
 def upsert_rows(
     spark: SparkSession, identifier: str, rows: DataFrame, key_cols: list[str]
 ) -> None:
@@ -72,8 +99,9 @@ def upsert_rows(
     ``colymer/sites/colymer.py:33-46``: replace-by-id, insert if absent).
 
     Catalog path: Iceberg ``MERGE INTO`` (row-level op, no table rewrite).
-    Parquet fallback: anti-join out the replaced keys, union, committed
-    overwrite — the same observable semantics at directory granularity.
+    Parquet fallback: anti-join out the replaced keys, union, then a
+    staged committed rewrite + atomic swap (``_replace_committed``) — the
+    same observable semantics at directory granularity.
     """
     if _is_catalog_table(spark, identifier):
         rows.createOrReplaceTempView("__upsert_src")
@@ -90,10 +118,7 @@ def upsert_rows(
         write_table(rows, identifier, mode="overwrite")
         return
     kept = base.join(rows.select(*key_cols), on=key_cols, how="left_anti")
-    merged = kept.unionByName(rows).localCheckpoint(eager=True)
-    # localCheckpoint materializes BEFORE the overwrite — a lazy plan would
-    # read the very directory it is truncating
-    write_table(merged, identifier, mode="overwrite")
+    _replace_committed(kept.unionByName(rows), identifier)
 
 
 def delete_rows(
@@ -110,7 +135,5 @@ def delete_rows(
         )
         return
     base = read_table(spark, identifier)
-    remaining = base.join(
-        keys.select(*key_cols), on=key_cols, how="left_anti"
-    ).localCheckpoint(eager=True)
-    write_table(remaining, identifier, mode="overwrite")
+    remaining = base.join(keys.select(*key_cols), on=key_cols, how="left_anti")
+    _replace_committed(remaining, identifier)

@@ -25,17 +25,34 @@ from colymer_acquirers_spark.functions.parse_expr import extract_text_expr
 
 
 def stream_dedup_articles(
-    spark: SparkSession, pages_dir: str, checkpoint_dir: str, out_dir: str
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    dedup_horizon: str = "24 hours",
 ) -> None:
     """Continuously ingest pages, dedup by canonical URL across batches, and
     append parsed articles exactly once. Blocks until the available data is
-    drained (availableNow trigger)."""
+    drained (availableNow trigger).
+
+    BOUNDED STATE: ``dropDuplicatesWithinWatermark`` + a ``dedup_horizon``
+    watermark on ``warc_ts`` — a URL's dedup key is evictable once the
+    watermark passes its event time by the horizon, so state is
+    O(urls-per-horizon), not O(all urls ever) (a plain ``dropDuplicates``
+    here grows without bound on a continuous run). The CROSS-BATCH DEDUP
+    HORIZON is therefore ``dedup_horizon`` of EVENT time: a re-fetch of the
+    same canonical_url with a warc_ts more than the horizon after the first
+    is re-emitted — by design; the batch engine's compacted seen-set
+    (``plans/crawl.py``) is the full-history dedup, this sink is the
+    streaming analog of the reference's interval-compressed recent-seen
+    state (colymer/acquirers/acquirer.py:46-58)."""
     stream = (
         spark.readStream.schema(schemas.PAGES)
         .parquet(pages_dir)
         .withColumn("canonical_url", canonicalize_url("url"))
         .filter(F.col("canonical_url").isNotNull())
-        .dropDuplicates(["canonical_url"])
+        .withWatermark("warc_ts", dedup_horizon)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
         .select(
             "canonical_url",
             extract_text_expr("html").alias("content"),
@@ -141,7 +158,19 @@ def stream_host_sessions(
             )
             return
         ts = pd.concat([pdf["warc_ts"] for pdf in pdfs]).sort_values()
-        ms = (ts.astype("int64") // 1_000_000).tolist()
+        # applyInPandasWithState does NOT pre-drop rows older than the
+        # watermark (unlike built-in stateful ops) — a late row could push
+        # the computed timeout (end+gap) BEHIND the current watermark, and
+        # setTimeoutTimestamp throws for timestamps ≤ watermark. Drop
+        # below-watermark rows explicitly (they are late by contract) and
+        # clamp the timeout to watermark+1 as the backstop.
+        wm_ms = state.getCurrentWatermarkMs()
+        ms = [t for t in (ts.astype("int64") // 1_000_000).tolist() if t >= wm_ms]
+        if not ms:
+            if state.exists:
+                start_ms, end_ms, n = state.get
+                state.setTimeoutTimestamp(max(wm_ms + 1, end_ms + gap_ms))
+            return
         sessions = []
         if state.exists:
             start_ms, end_ms, n = state.get
@@ -156,8 +185,8 @@ def stream_host_sessions(
                 n += 1
         state.update((start_ms, end_ms, n))
         # event-time timeout: close the open session once the watermark
-        # passes its end + gap
-        state.setTimeoutTimestamp(end_ms + gap_ms)
+        # passes its end + gap (clamped above the current watermark)
+        state.setTimeoutTimestamp(max(wm_ms + 1, end_ms + gap_ms))
         if sessions:
             yield pd.DataFrame(
                 {

@@ -91,3 +91,85 @@ def test_upsert_and_delete_rows(spark, tmp_path):
     path2 = str(tmp_path / "fresh")
     upsert_rows(spark, path2, changes, ["id"])
     assert read_table(spark, path2).count() == 2
+
+
+def test_failed_rewrite_preserves_prior_committed_state(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r2: the old in-place overwrite deleted the only copy before
+    the rewrite finished. Now the distributed write lands in a sibling
+    staging dir first — if it DIES (executor loss, OOM, kill), the original
+    table must still read back committed and intact."""
+    from colymer_acquirers_spark.sources import tables as T
+
+    path = str(tmp_path / "crashy")
+    write_table(spark.range(10).selectExpr("id", "id AS v"), path, "overwrite")
+
+    real_write = T.write_table
+
+    def dying_write(df, identifier, mode="append", partition_by=None):
+        if identifier.endswith(".__staging"):
+            df.count()  # start the distributed write's work, then die
+            raise RuntimeError("executor lost mid-write")
+        return real_write(df, identifier, mode, partition_by)
+
+    monkeypatch.setattr(T, "write_table", dying_write)
+    with pytest.raises(RuntimeError):
+        T.upsert_rows(
+            spark, path, spark.createDataFrame([(3, 33)], ["id", "v"]), ["id"]
+        )
+    monkeypatch.undo()
+    got = {r["id"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got == {i: i for i in range(10)}  # prior state fully intact
+
+
+def test_catalog_branch_dispatch(spark, monkeypatch):
+    """VERDICT r2 #8: the Iceberg catalog branch (no runtime jar in this
+    sandbox) must not be dead code — assert the MERGE SQL text and the
+    writeTo dispatch with the catalog probe stubbed out."""
+    from unittest.mock import MagicMock
+
+    from colymer_acquirers_spark.sources import tables as T
+
+    monkeypatch.setattr(T, "_is_catalog_table", lambda _s, _i: True)
+    issued: list[str] = []
+    monkeypatch.setattr(
+        spark, "sql", lambda q, *a, **k: issued.append(" ".join(q.split()))
+    )
+
+    rows = spark.createDataFrame([(1, "x")], ["id", "content"])
+    T.upsert_rows(spark, "ice.db.articles", rows, ["id"])
+    assert issued == [
+        "MERGE INTO ice.db.articles t USING __upsert_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ]
+
+    issued.clear()
+    T.delete_rows(spark, "ice.db.articles", rows.select("id"), ["id"])
+    assert issued == [
+        "MERGE INTO ice.db.articles t USING __delete_src s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    ]
+
+    # write_table catalog path: createOrReplace on overwrite, append otherwise
+    df = MagicMock()
+    df.sparkSession = spark
+    T.write_table(df, "ice.db.articles", mode="overwrite")
+    df.writeTo.assert_called_once_with("ice.db.articles")
+    df.writeTo.return_value.createOrReplace.assert_called_once()
+    df2 = MagicMock()
+    df2.sparkSession = spark
+    T.write_table(df2, "ice.db.articles", mode="append")
+    df2.writeTo.return_value.append.assert_called_once()
+
+
+def test_is_catalog_table_probe(spark):
+    from colymer_acquirers_spark.sources import tables as T
+
+    assert not T._is_catalog_table(spark, "/tmp/x/y")  # path → parquet
+    assert not T._is_catalog_table(spark, "ice.db.t")  # no catalog conf set
+    spark.conf.set("spark.sql.catalog.ice", "org.example.SomeCatalog")
+    try:
+        assert T._is_catalog_table(spark, "ice.db.t")
+    finally:
+        spark.conf.unset("spark.sql.catalog.ice")
