@@ -9,13 +9,26 @@ Reference analogs:
   (``twitter.py:105-114``, ``weibo.py:320-334``) — generalized here to
   ``<a href>`` extraction feeding frontier expansion (SURVEY.md §2.9 X6-X8).
 
-FROZEN TEXT RULE (pyref calls the same series function — byte-identical by
-construction):
- 1. drop <script>...</script> and <style>...</style> blocks (dotall, ci)
- 2. drop <!-- comments -->
- 3. every remaining tag → one space
- 4. decode entities: &lt; &gt; &quot; &#39; &nbsp;(→space), &amp; last
- 5. collapse all whitespace runs to single spaces; strip ends
+FROZEN TEXT RULE — v2 (pyref calls the same series function —
+byte-identical by construction):
+ 1. ONE left-to-right pass replacing each leftmost-first match of the
+    ordered alternation ``script-block | style-block | comment | tag``
+    with one space (dotall, ci). Earliest match position wins; at equal
+    positions the alternation order wins. This is single-pass semantics —
+    NOT "remove all script blocks, then all comments, then tags".
+ 2. decode entities: &lt; &gt; &quot; &#39; &nbsp;(→space), &amp; last
+ 3. collapse all whitespace runs to single spaces; strip ends
+
+RULE VERSION NOTE (v1 → v2): v1 ran four sequential passes
+(script, style, comment, tag). The two versions differ only on
+OVERLAPPING constructs — e.g. ``<!-- <script> --> x </script> tail``:
+v1's script pass consumed ``<script> --> x </script>`` leaving the
+orphaned ``<!--`` as text ('<!-- tail'); v2 removes the comment first
+('x tail'). v2 is the frozen rule: a script opener inside a comment is
+commented out and must not swallow text beyond the comment — and one
+fused scan is what the memory-bandwidth-bound parse path wants. No
+golden hashes were persisted under v1 (pyref regenerates them and
+shares this constant); tests/test_parse.py pins the v2 values.
 
 FROZEN LINK RULE:
  - hrefs from ``<a ... href="...">`` / ``<a ... href='...'`` (ci)
@@ -48,16 +61,13 @@ WS_CHARS = " \t\n\r\f\x0b\u00a0"
 _WS_CLASS = "[" + WS_CHARS + "]"
 _WS_RE = _WS_CLASS + "+"
 
-_SCRIPT_RE = r"(?is)<script\b.*?</script" + _WS_CLASS + r"*>"
-_STYLE_RE = r"(?is)<style\b.*?</style" + _WS_CLASS + r"*>"
-_COMMENT_RE = r"(?s)<!--.*?-->"
-_TAG_RE = r"<[^>]*>"
 # fused single-pass strip: ordered alternation script|style|comment|tag —
 # one scan over the html instead of four (the parse path is memory-
 # bandwidth-bound at high core counts; every full-string pass costs).
-# Ordered-alternation semantics are identical to the sequential passes for
-# all non-pathological inputs and are THE frozen rule (all three
-# implementations — pandas, JVM, pyref — share this constant).
+# These SINGLE-PASS semantics are the frozen rule (v2 — see the RULE
+# VERSION NOTE in the module docstring for the v1 delta on overlapping
+# constructs); all three implementations — pandas, JVM, pyref — share
+# this constant.
 _STRIP_ALL_RE = "(?is)" + "|".join(
     [
         r"<script\b.*?</script" + _WS_CLASS + r"*>",

@@ -40,6 +40,16 @@ def test_text_none():
     assert extract_text_series(pd.Series([None]))[0] is None
 
 
+def test_text_rule_v2_overlapping_constructs():
+    """FROZEN TEXT RULE v2 value pins (ADVICE r2): single-pass ordered
+    alternation — NOT v1's sequential passes. A script opener inside a
+    comment is commented out; leftmost match wins. These exact values are
+    the spec for all three implementations."""
+    assert text("<!-- <script> --> x </script> tail") == "x tail"
+    assert text("<script><!-- </script> --> y") == "--> y"
+    assert text("<style><script></style>z</script>") == "z"
+
+
 BASE = "https://h.com/dir/page.html"
 
 

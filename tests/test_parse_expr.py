@@ -39,6 +39,11 @@ ADVERSARIAL_HTML = [
     "<a href='a#frag?not-q'>fragq</a>",
     "no links here at all",
     "",
+    # TEXT RULE v2 overlap cases (value pins live in test_parse.py; here
+    # they pin pandas ≡ JVM on exactly the inputs where v1 and v2 diverge)
+    "<!-- <script> --> x </script> tail",
+    "<script><!-- </script> --> y",
+    "<style><script></style>z</script>",
 ]
 
 
