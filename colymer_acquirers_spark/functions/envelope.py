@@ -35,6 +35,15 @@ FROZEN ENVELOPE RULES:
                      wav→audio/wav), else "<tag>/unknown"
       metadata     = width/height from integer attrs when present
       persist_info = directly_transfer=true, path=id[.ext], referer=base
+ 6. VERSION     : first ``<meta name="version" content="...">`` (same
+    quoting precedence as rules 1-2); content must be 1-9 ASCII digits →
+    int, else NULL (reference ``edit_count``, weibo.py:230-231,276-277)
+ 7. ORIGINAL_DATA: the page's head section — the first
+    ``<head ...> ... </head>`` span preserved VERBATIM (the reference's
+    ``metadata.original_data`` raw-record passthrough, weibo.py:222-231,
+    twitter.py:98-102: carry the envelope's source bytes so fields are
+    re-derivable post-hoc); no head → NULL. Body-side media tags are
+    already carried verbatim via attachments.original_url.
 """
 
 from __future__ import annotations
@@ -80,7 +89,10 @@ def _meta_res(attr: str, name: str) -> tuple[re.Pattern, re.Pattern]:
 _AUTHOR_RE = _meta_res("name", "author")
 _AUTHOR_ID_RE = _meta_res("name", "author-id")
 _PUBLISHED_RE = _meta_res("property", "article:published_time")
+_VERSION_RE = _meta_res("name", "version")
 _ISO_Z_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+_VERSION_INT_RE = re.compile(r"^\d{1,9}$")
+_HEAD_RE = re.compile(r"(?is)<head\b[^>]*>.*?</head" + _WS_CLASS + r"*>")
 _MEDIA_TAG_RE = re.compile(r"(?is)<(img|video|audio)\b[^>]*>")
 _SRC_D_RE = re.compile(rf"(?is)\bsrc{_WSP}={_WSP}\"([^\"]*)\"")
 _SRC_S_RE = re.compile(rf"(?is)\bsrc{_WSP}={_WSP}'([^']*)'")
@@ -166,6 +178,32 @@ def extract_published_series(html: pd.Series) -> pd.Series:
     )
 
 
+def extract_version_series(html: pd.Series) -> pd.Series:
+    """FROZEN RULE 6 (vectorized): int versions or None."""
+    raw = _meta_series(html, _VERSION_RE, clean=False)
+    return pd.Series(
+        [
+            int(v) if v is not None and _VERSION_INT_RE.match(v) else None
+            for v in raw
+        ],
+        index=raw.index,
+        dtype="object",
+    )
+
+
+def extract_original_data_series(html: pd.Series) -> pd.Series:
+    """FROZEN RULE 7 (vectorized): verbatim head section or None."""
+    s = _to_str_series(html).astype("object")
+
+    def head(h):
+        if h is None:
+            return None
+        m = _HEAD_RE.search(h)
+        return m.group(0) if m else None
+
+    return s.map(head)
+
+
 def page_content_type_one(url: str | None) -> str | None:
     """FROZEN RULE 4 over the canonical url."""
     if url is None:
@@ -244,8 +282,3 @@ def extract_attachments_one(
     return out
 
 
-def metadata_json_one(priority: int, depth: int) -> str:
-    """Frozen metadata passthrough (reference: metadata.original_data) —
-    compact JSON with fixed key order, byte-identical to Spark's
-    ``to_json(struct(priority, depth))``."""
-    return f'{{"priority":{priority},"depth":{depth}}}'

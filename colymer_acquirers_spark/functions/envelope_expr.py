@@ -26,6 +26,7 @@ from colymer_acquirers_spark.functions.parse_expr import (
 )
 
 _WSP = _WS_CLASS + "*"  # optional frozen whitespace
+_HEAD_RE = r"(?is)<head\b[^>]*>.*?</head" + _WS_CLASS + r"*>"
 _MEDIA_TAG_RE = r"(?is)<(?:img|video|audio)\b[^>]*>"
 _TAG_KIND_RE = r"(?is)^<([a-z]+)"
 _SRC_D_RE = rf"(?is)\bsrc{_WSP}={_WSP}\"([^\"]*)\""
@@ -89,6 +90,28 @@ def extract_published_expr(html: Column | str, is_binary: bool = True) -> Column
     return F.when(
         ok, F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
     ).otherwise(F.lit(None).cast("timestamp"))
+
+
+def extract_version_expr(html: Column | str, is_binary: bool = True) -> Column:
+    """FROZEN RULE 6: 1-9-digit ``<meta name="version">`` → int else NULL
+    (digits-only rlike makes the cast ANSI-safe; ≤9 digits < 2^31)."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    raw = _meta_expr(s, "name", "version")
+    return F.when(raw.rlike(r"^\d{1,9}$"), raw.cast("int")).otherwise(
+        F.lit(None).cast("int")
+    )
+
+
+def extract_original_data_expr(html: Column | str, is_binary: bool = True) -> Column:
+    """FROZEN RULE 7: verbatim head section (raw-record passthrough) or
+    NULL. regexp_extract group 0 can never be the empty string here (a
+    match always contains ``<head``), so nullif-empty is exact."""
+    s = F.col(html) if isinstance(html, str) else html
+    if is_binary:
+        s = _as_str(s)
+    return _nullif_empty(F.regexp_extract(s, _HEAD_RE, 0))
 
 
 def _ext_map() -> Column:
@@ -216,7 +239,8 @@ def extract_attachments_expr(
 def envelope_expr(
     html: Column | str, base_url: Column | str, is_binary: bool = True
 ) -> Column:
-    """struct<author_id, author_name, published, attachments> in one pass.
+    """struct<author_id, author_name, published, version, original_data,
+    attachments> in one pass.
 
     By-name form memoized (same rationale as ``parse_page_expr``: large
     identical tree every round; unresolved Columns are reusable)."""
@@ -239,5 +263,7 @@ def _envelope_expr(html: Column, base_url: Column, is_binary: bool) -> Column:
         extract_author_id_expr(h, is_binary=False).alias("author_id"),
         extract_author_expr(h, is_binary=False).alias("author_name"),
         extract_published_expr(h, is_binary=False).alias("published"),
+        extract_version_expr(h, is_binary=False).alias("version"),
+        extract_original_data_expr(h, is_binary=False).alias("original_data"),
         extract_attachments_expr(h, b, is_binary=False).alias("attachments"),
     )

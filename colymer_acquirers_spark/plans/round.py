@@ -194,7 +194,8 @@ def run_round(
     )
     # full article envelope (schemas.ARTICLES; reference envelope
     # weibo.py:215-231, twitter.py:86-103): author/time/content_type/
-    # metadata passthrough/attachments, FROZEN ENVELOPE RULES
+    # version/raw passthrough/attachments, FROZEN ENVELOPE RULES; crawl
+    # provenance (priority, depth) as typed columns
     articles = parsed.select(
         F.col("url"),
         F.col("canonical_url"),
@@ -206,9 +207,10 @@ def run_round(
         F.coalesce(F.col("env.published"), F.col("warc_ts")).alias("time"),
         "lang",
         F.lit(rnd).alias("round"),
-        F.to_json(F.struct(F.col("priority"), F.col("depth"))).alias(
-            "metadata_json"
-        ),
+        F.col("priority").cast("int").alias("priority"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("env.version").alias("version"),
+        F.col("env.original_data").alias("original_data"),
         F.col("env.attachments").alias("attachments"),
         F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
     )

@@ -52,8 +52,9 @@ from colymer_acquirers_spark.functions.envelope import (
     extract_attachments_one,
     extract_author_id_series,
     extract_author_series,
+    extract_original_data_series,
     extract_published_series,
-    metadata_json_one,
+    extract_version_series,
     page_content_type_one,
 )
 from colymer_acquirers_spark.functions.parse import (
@@ -237,7 +238,10 @@ def crawl(
                     "time": time,
                     "lang": page["lang"],
                     "round": rnd,
-                    "metadata_json": metadata_json_one(pri, dep),
+                    "priority": pri,
+                    "depth": dep,
+                    "version": extract_version_series(hs)[0],
+                    "original_data": extract_original_data_series(hs)[0],
                     "attachments": extract_attachments_one(page["html"], c),
                     "text_sha256": hashlib.sha256(content.encode()).hexdigest(),
                 }
@@ -313,7 +317,10 @@ def crawl(
                 "time",
                 "lang",
                 "round",
-                "metadata_json",
+                "priority",
+                "depth",
+                "version",
+                "original_data",
                 "attachments",
                 "text_sha256",
             ],

@@ -545,7 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from colymer_acquirers_spark.functions.envelope_expr import (
             extract_attachments_expr,
             extract_author_expr,
+            extract_original_data_expr,
             extract_published_expr,
+            extract_version_expr,
             page_content_type_expr,
         )
 
@@ -570,13 +572,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit('">'),
             ),
         ).otherwise(F.lit(""))
+        ver_meta = F.when(
+            (i % 5) < 3,
+            F.format_string('<meta name="version" content="%d">', i % 7),
+        ).otherwise(F.lit(""))
         img = F.when(
             (i % 4) > 0,
             F.format_string('<img src="/m/i%d.jpg" width="%d">', i, i % 1920 + 1),
         ).otherwise(F.lit(""))
         html = F.concat(
             F.lit("<html><head><title>T</title>"), author_meta, pub_meta,
-            F.lit("</head><body>"), img, F.lit("</body></html>"),
+            ver_meta, F.lit("</head><body>"), img, F.lit("</body></html>"),
         )
         atts = extract_attachments_expr(html, url, is_binary=False)
         # try_element_at: the attachments array is EMPTY for doc_id % 4 == 0
@@ -588,6 +594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             i.alias("doc_id"),
             extract_author_expr(html, is_binary=False).alias("author_name"),
             extract_published_expr(html, is_binary=False).alias("published"),
+            extract_version_expr(html, is_binary=False).alias("version"),
+            extract_original_data_expr(html, is_binary=False).alias(
+                "original_data"
+            ),
             page_content_type_expr(url).alias("content_type"),
             F.size(atts).alias("n_attachments"),
             first["original_url"].alias("att_url"),
@@ -910,6 +920,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 10 < 8
                         THEN make_timestamp((1735689600 + doc_id * 60) * 1000000) END
                      AS published,
+                   CAST(CASE WHEN doc_id % 5 < 3 THEN doc_id % 7 END AS INT)
+                     AS version,
+                   '<head><title>T</title>'
+                   || CASE WHEN doc_id % 10 < 7
+                           THEN '<meta name="author" content="Author '
+                                || CAST(doc_id % 37 AS VARCHAR) || '">'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 10 < 8
+                           THEN '<meta property="article:published_time" content="'
+                                || strftime(make_timestamp(
+                                     (1735689600 + doc_id * 60) * 1000000),
+                                   '%Y-%m-%dT%H:%M:%SZ') || '">'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 < 3
+                           THEN '<meta name="version" content="'
+                                || CAST(doc_id % 7 AS VARCHAR) || '">'
+                           ELSE '' END
+                   || '</head>' AS original_data,
                    'text/html' AS content_type,
                    CAST(CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END AS INT)
                      AS n_attachments,
@@ -1014,7 +1042,10 @@ def flagship_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> Dat
         "time",
         "lang",
         "round",
-        "metadata_json",
+        "priority",
+        "depth",
+        "version",
+        "original_data",
         F.size("attachments").alias("n_attachments"),
         F.md5(F.encode(F.to_json(F.col("attachments")), "utf-8")).alias(
             "attachments_md5"

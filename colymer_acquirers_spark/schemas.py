@@ -1,10 +1,12 @@
 """Fixed StructType schemas for every engine table (SURVEY.md §1.3).
 
 The reference is schema-on-write with a fixed normalized envelope plus a
-dynamic JSON passthrough (``metadata.original_data`` — reference
-``colymer/acquirers/weibo.py:215-231`` et al.); the engine mirrors that with
-fixed StructTypes everywhere and a single ``metadata_json: string`` escape
-hatch.
+raw-record passthrough (``metadata.original_data`` — reference
+``colymer/acquirers/weibo.py:215-231`` et al.); the engine mirrors that
+with fixed StructTypes everywhere, crawl provenance as typed columns, and
+``articles.original_data`` carrying the envelope's verbatim source (the
+page head section). Non-article surfaces (events normalization) keep a
+``metadata_json: string`` escape hatch.
 """
 
 from __future__ import annotations
@@ -131,7 +133,14 @@ ARTICLES = T.StructType(
         T.StructField("time", T.TimestampType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("round", T.IntegerType(), False),
-        T.StructField("metadata_json", T.StringType(), True),
+        # crawl provenance as TYPED columns (not JSON — queryable/prunable)
+        T.StructField("priority", T.IntegerType(), True),
+        T.StructField("depth", T.IntegerType(), True),
+        # FROZEN RULE 6 (reference edit_count, weibo.py:230-231)
+        T.StructField("version", T.IntegerType(), True),
+        # FROZEN RULE 7: verbatim head section — the reference's
+        # metadata.original_data raw-record passthrough (weibo.py:222-231)
+        T.StructField("original_data", T.StringType(), True),
         T.StructField("attachments", T.ArrayType(ATTACHMENT), True),
         T.StructField("text_sha256", T.StringType(), True),
     ]

@@ -147,6 +147,11 @@ def synth_pages(
             F.lit('">'),
         ),
     ).otherwise(F.lit(""))
+    # ~60% of pages carry a version (FROZEN RULE 6; reference edit_count)
+    version_meta = F.when(
+        _h(idc, 31, 10) < 6,
+        F.format_string('<meta name="version" content="%d">', _h(idc, 32, 20)),
+    ).otherwise(F.lit(""))
     n_media = _h(idc, 25, 4).cast("int")  # 0..3
 
     def media_tag(j: Column) -> Column:
@@ -180,6 +185,7 @@ def synth_pages(
         F.lit("</title>"),
         author_meta,
         published_meta,
+        version_meta,
         F.lit("<style>p{color:red}</style></head><body><p>"),
         body_html,
         F.lit("</p>"),

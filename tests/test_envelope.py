@@ -13,7 +13,9 @@ from colymer_acquirers_spark.functions.envelope import (
     extract_attachments_one,
     extract_author_id_series,
     extract_author_series,
+    extract_original_data_series,
     extract_published_series,
+    extract_version_series,
     page_content_type_one,
 )
 from colymer_acquirers_spark.functions.envelope_expr import (
@@ -59,7 +61,33 @@ FIXTURES = [
     '<meta property="article:published_time" content="2025-13-01T00:00:00Z">',
     '<meta property="article:published_time" content="2025-01-32T00:00:00Z">',
     '<meta property="article:published_time" content="2025-01-01T25:00:00Z">',
+    # FROZEN RULE 6 (version): valid; non-numeric → NULL; >9 digits → NULL
+    '<head a="b"><meta name="version" content="7"></head >body',
+    '<meta name="version" content="v2">',
+    '<meta name="version" content="1234567890">',
 ]
+
+
+def test_version_and_original_data_value_oracle():
+    """FROZEN RULES 6-7 value pins (not just impl agreement)."""
+    s = pd.Series(
+        [
+            '<head a="b"><meta name="version" content="7"></head >body',
+            '<meta name="version" content="v2">',
+            '<meta name="version" content="1234567890">',  # >9 digits
+            "<head><title>x</title></head>",
+            "no head at all",
+        ]
+    )
+    assert list(extract_version_series(s)) == [7, None, None, None, None]
+    # verbatim passthrough: attrs on <head>, trailing-ws close tag included
+    assert list(extract_original_data_series(s)) == [
+        '<head a="b"><meta name="version" content="7"></head >',
+        None,
+        None,
+        "<head><title>x</title></head>",
+        None,
+    ]
 
 
 def test_published_calendar_invalid_is_null():
@@ -80,10 +108,14 @@ def test_envelope_jvm_matches_python(spark):
     exp_author = extract_author_series(pdf["html"])
     exp_aid = extract_author_id_series(pdf["html"])
     exp_pub = extract_published_series(pdf["html"])
+    exp_ver = extract_version_series(pdf["html"])
+    exp_head = extract_original_data_series(pdf["html"])
     for i, h in enumerate(FIXTURES):
         e = by_html[h]
         assert e["author_name"] == exp_author[i], (h, e["author_name"])
         assert e["author_id"] == exp_aid[i], h
+        assert e["version"] == exp_ver[i], (h, e["version"], exp_ver[i])
+        assert e["original_data"] == exp_head[i], h
         exp_t = exp_pub[i]
         got_t = e["published"]
         if exp_t is None:
@@ -179,18 +211,26 @@ def test_envelope_on_synth_pages(spark):
     hs = pdf["html"].map(bytes)
     exp_author = extract_author_series(hs)
     exp_pub = extract_published_series(hs)
+    exp_ver = extract_version_series(hs)
+    exp_head = extract_original_data_series(hs)
     exp_by_url = {
-        u: (a, p, extract_attachments_one(bytes(h), u))
-        for u, h, a, p in zip(pdf["url"], pdf["html"], exp_author, exp_pub)
+        u: (a, p, v, hd, extract_attachments_one(bytes(h), u))
+        for u, h, a, p, v, hd in zip(
+            pdf["url"], pdf["html"], exp_author, exp_pub, exp_ver, exp_head
+        )
     }
-    n_auth = n_att = 0
+    n_auth = n_att = n_ver = 0
     for r in rows:
-        a, p, atts = exp_by_url[r["url"]]
+        a, p, v, hd, atts = exp_by_url[r["url"]]
         e = r["e"]
         assert e["author_name"] == a, r["url"]
         exp_t = None if p is None else p.replace(tzinfo=None)
         assert e["published"] == exp_t, r["url"]
+        assert e["version"] == v, r["url"]
+        assert e["original_data"] == hd, r["url"]
         assert [x.asDict(recursive=True) for x in e["attachments"]] == atts
         n_auth += a is not None
         n_att += len(atts)
-    assert n_auth > 100 and n_att > 100  # fixtures genuinely exercise rules
+        n_ver += v is not None
+    # fixtures genuinely exercise rules
+    assert n_auth > 100 and n_att > 100 and n_ver > 100
