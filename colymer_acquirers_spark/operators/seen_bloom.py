@@ -19,10 +19,16 @@ acquirer.py:10-22``) — an interval-compressed "have I fetched this" structure
 
 Sizing (10^10-URL frontier): 10 bits/key ≈ 12.5 GB total ⇒ ~200 shards of
 64 MB; shards live in the round checkpoint and OR-merge incrementally (the
-analog of block compaction, ``acquirer.py:46-58``).
+analog of block compaction, ``acquirer.py:46-58``). ``BloomSeen.sized``
+derives (n_shards, m_bits, k) from expected item count + target FPR using
+exactly that arithmetic; the crawl loop re-sizes at compaction when the
+accumulated occupancy pushes the estimated FPR past its threshold
+(rebuilding from the exact seen set, which compaction has in hand anyway).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -30,11 +36,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# self-describing: every row carries its filter geometry, so a resumed
+# process reconstructs the exact (n_shards, m_bits, k) the persisted bytes
+# were built with — a params mismatch would turn bloom bit positions into
+# garbage and break the never-false-drop invariant silently
 BLOOM_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("bloom", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
+        T.StructField("n_shards", T.IntegerType(), False),
+        T.StructField("m_bits", T.IntegerType(), False),
+        T.StructField("k", T.IntegerType(), False),
     ]
 )
 
@@ -69,10 +82,55 @@ class BloomSeen:
         self.m_bits = m_bits
         self.k = k
 
+    # -- sizing ------------------------------------------------------------
+    @classmethod
+    def sized(
+        cls,
+        expected_items: int,
+        target_fpr: float = 0.01,
+        max_shard_bytes: int = 1 << 26,
+    ) -> "BloomSeen":
+        """Derive (n_shards, m_bits, k) from expected item count and target
+        FPR (SURVEY.md §4.3 sizing): total_bits = n·ln(1/p)/ln²2,
+        k = (m/n)·ln2, shard count bounded by ``max_shard_bytes`` so a
+        single shard always fits one task's memory (64 MiB default — the
+        10^10-URL / 1% config lands on ~180 shards of 64 MiB, k=7).
+
+        Shard key splits ITEMS uniformly too (salted full-URL hash), so the
+        bits-per-item ratio — and therefore the FPR — is preserved
+        per-shard."""
+        n = max(1, int(expected_items))
+        total_bits = math.ceil(n * math.log(1.0 / target_fpr) / (math.log(2) ** 2))
+        k = max(1, round(total_bits / n * math.log(2)))
+        n_shards = max(1, math.ceil(total_bits / (max_shard_bytes * 8)))
+        # per-shard bits, rounded up to whole bytes
+        m_bits = ((math.ceil(total_bits / n_shards) + 7) // 8) * 8
+        return cls(n_shards=n_shards, m_bits=m_bits, k=k)
+
+    def params(self) -> dict:
+        """Persistable construction parameters (round-checkpoint sidecar)."""
+        return {"n_shards": self.n_shards, "m_bits": self.m_bits, "k": self.k}
+
+    def estimated_fpr(self, n_items_total: int) -> float:
+        """Expected FPR at ``n_items_total`` inserted across all shards:
+        p = (1 − e^{−k·n/m})^k with n the per-shard load."""
+        n = max(0, int(n_items_total)) / self.n_shards
+        return (1.0 - math.exp(-self.k * n / self.m_bits)) ** self.k
+
+    @classmethod
+    def from_table(cls, blooms: DataFrame) -> "BloomSeen | None":
+        """Reconstruct the filter a persisted shard table was built with
+        (self-describing geometry columns). One tiny driver job; used on
+        resume, never per round."""
+        row = blooms.select("n_shards", "m_bits", "k").first()
+        if row is None:
+            return None
+        return cls(n_shards=row["n_shards"], m_bits=row["m_bits"], k=row["k"])
+
     # -- build -------------------------------------------------------------
     def build_delta(self, urls: DataFrame) -> DataFrame:
         """canonical_url DF → bloom shard table (one row per non-empty shard)."""
-        m_bits, k = self.m_bits, self.k
+        m_bits, k, n_shards = self.m_bits, self.k, self.n_shards
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             arr = np.zeros(m_bits // 8, dtype=np.uint8)
@@ -83,6 +141,9 @@ class BloomSeen:
                     "shard": [int(pdf["__shard"].iloc[0])],
                     "bloom": [arr.tobytes()],
                     "n_items": [len(pdf)],
+                    "n_shards": [n_shards],
+                    "m_bits": [m_bits],
+                    "k": [k],
                 }
             )
 
@@ -96,6 +157,9 @@ class BloomSeen:
         """OR-merge bloom rows per shard (compaction / round accumulation)."""
 
         def orit(pdf: pd.DataFrame) -> pd.DataFrame:
+            # OR-merging rows built under different geometries is meaningless
+            if pdf["m_bits"].nunique() != 1 or pdf["k"].nunique() != 1:
+                raise ValueError("bloom merge across mismatched filter params")
             arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["bloom"]]
             merged = np.bitwise_or.reduce(arrs)
             return pd.DataFrame(
@@ -103,6 +167,9 @@ class BloomSeen:
                     "shard": [int(pdf["shard"].iloc[0])],
                     "bloom": [merged.tobytes()],
                     "n_items": [int(pdf["n_items"].sum())],
+                    "n_shards": [int(pdf["n_shards"].iloc[0])],
+                    "m_bits": [int(pdf["m_bits"].iloc[0])],
+                    "k": [int(pdf["k"].iloc[0])],
                 }
             )
 

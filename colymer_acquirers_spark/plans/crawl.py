@@ -193,6 +193,8 @@ def run_crawl(
     initial_seen: DataFrame | None = None,
     metrics_full: bool = True,
     compact_every: int = 8,
+    bloom_target_fpr: float = 0.01,
+    bloom_autosize: bool = True,
 ) -> dict:
     """Run (or resume) up to ``max_rounds`` crawl rounds; returns summary.
 
@@ -200,9 +202,21 @@ def run_crawl(
     identical outputs at any parallelism, resumed or not, bloom on or off
     (the bloom is a prefilter with an exact backstop — never changes
     results, only the amount of exact anti-join work).
+
+    Bloom auto-sizing: when the accumulated seen count pushes the filter's
+    estimated FPR past 2× ``bloom_target_fpr``, the next compaction
+    rebuilds the bloom RIGHT-SIZED (BloomSeen.sized, 4× headroom) from the
+    exact seen set it is compacting anyway — without this, fixed shards
+    silently saturate (FPR→1) and every probe falls through to the exact
+    anti-join backstop. Rebuild lands in a temp dir and renames over the
+    old bloom; a crash between the two leaves NO bloom for that round,
+    which resume handles by rebuilding from the full seen state (the safe
+    direction — a half-written bloom could false-drop URLs).
     """
     if use_bloom and bloom_filter is None:
         bloom_filter = BloomSeen()
+    # pre-existing-state count enters the occupancy estimate exactly once
+    n_seen_base = 0
 
     # pre-existing seen state (reference analog: chain blocks from a prior
     # scan, acquirer.py:21-22); persisted once so resume sees the same state
@@ -216,6 +230,8 @@ def run_crawl(
         if os.path.exists(seen_base_path)
         else None
     )
+    if use_bloom and seen_base is not None:
+        n_seen_base = seen_base.count()
     # canonicalize once, reuse across rounds (at warehouse scale the pages
     # table stores canonical_url as a bucketed column instead — see README)
     pages_k = keyed_pages(pages).persist()
@@ -241,6 +257,17 @@ def run_crawl(
         frontier_count = frontier.count()
 
     all_metrics = [read_manifest(workdir, k)["metrics"] for k in done]
+
+    # resume must probe with the geometry the persisted bloom bytes were
+    # built with (it may have been auto-resized since the run began)
+    if use_bloom and done:
+        last_bloom = os.path.join(_round_dir(workdir, done[-1]), "bloom")
+        if os.path.exists(last_bloom):
+            persisted = BloomSeen.from_table(
+                spark.read.schema(BLOOM_SCHEMA).parquet(last_bloom)
+            )
+            if persisted is not None:
+                bloom_filter = persisted
 
     for rnd in range(start_round, max_rounds):
         if frontier_count == 0:
@@ -327,6 +354,21 @@ def run_crawl(
                     os.path.join(workdir, "pinned_compact", str(rnd)),
                     mode="overwrite",
                 )
+            # bloom re-size at compaction (occupancy check is pure driver
+            # arithmetic: accumulated inserts = rank_offset + initial seen)
+            if use_bloom and bloom_autosize and full is not None:
+                n_inserted = rank_offset + n_seen_base
+                if bloom_filter.estimated_fpr(n_inserted) > 2 * bloom_target_fpr:
+                    bloom_filter = BloomSeen.sized(
+                        max(4 * n_inserted, 1024), target_fpr=bloom_target_fpr
+                    )
+                    bloom_out = os.path.join(rd, "bloom")
+                    tmp_out = bloom_out + ".__resized"
+                    bloom_filter.build_delta(
+                        full.select("canonical_url")
+                    ).write.mode("overwrite").parquet(tmp_out)
+                    shutil.rmtree(bloom_out, ignore_errors=True)
+                    os.rename(tmp_out, bloom_out)
 
     pages_k.unpersist()
     return {
