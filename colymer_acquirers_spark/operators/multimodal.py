@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,17 +138,24 @@ def _fake_image_features(batch: pd.DataFrame) -> pd.DataFrame:
     rest of the pipeline (schema, batching, downstream joins) is identical.
     """
     payloads = batch["payload"]
-    n_bytes = payloads.map(len).astype("int64")
-    sha = payloads.map(lambda b: hashlib.sha256(b).hexdigest())
-    mean_byte = payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0)
-    feature = payloads.map(
-        lambda b: [float(x) / 255.0 for x in hashlib.sha256(b).digest()[:16]]
-    )
+    # numpy over one concatenated buffer per Arrow batch (production-shaped
+    # dataflow: a single pass over the batch's bytes, no per-row Python on
+    # the stat columns); sha256 stays per-row — a real decoder is per-row
+    # too, and hashlib releases the GIL on large inputs
+    lens = payloads.map(len).to_numpy(dtype=np.int64)
+    flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    csum = np.concatenate(([0.0], np.cumsum(flat, dtype=np.float64)))
+    ends = np.cumsum(lens)
+    sums = csum[ends] - csum[ends - lens]
+    mean_byte = np.divide(sums, lens, out=np.zeros_like(sums), where=lens > 0)
+    digests = [hashlib.sha256(b).digest() for b in payloads]
+    dig_mat = np.frombuffer(b"".join(d[:16] for d in digests), dtype=np.uint8)
+    feature = (dig_mat.reshape(-1, 16) / 255.0).tolist()
     return pd.DataFrame(
         {
             "media_id": batch["media_id"],
-            "n_bytes": n_bytes,
-            "sha256": sha,
+            "n_bytes": lens,
+            "sha256": [d.hex() for d in digests],
             "width": batch["meta"].map(lambda m: m["width"] if m is not None else None),
             "height": batch["meta"].map(lambda m: m["height"] if m is not None else None),
             "mean_byte": mean_byte,

@@ -258,3 +258,37 @@ def test_ivf_assignment_and_recall(vectors):
     part = [r["vec_id"] for r in
             ann_cosine_topk_ivf(df, list(q), 10, n_centroids=8, n_probe=2).collect()]
     assert 3 in part and len(set(part) & set(exact)) >= 3
+
+
+def test_ivf_kmeans_centroids_deterministic_and_recall(vectors):
+    """VERDICT r2 #7: IVF cells from deterministic sampled k-means (not the
+    lowest-id placeholder). Same seed ⇒ bit-identical centroids; recall@10
+    vs the exact brute-force oracle clears the threshold at n_probe=3/8
+    even on isotropic data (the hardest case for coarse quantization)."""
+    from colymer_acquirers_spark.operators.similarity import (
+        ann_cosine_topk_ivf,
+        kmeans_centroids,
+    )
+
+    vecs, df = vectors
+    c1 = kmeans_centroids(df, 8, sample_n=128)
+    c2 = kmeans_centroids(df, 8, sample_n=128)
+    assert c1 == c2  # seeded sample + seeded k-means++ ⇒ reproducible
+    assert len(c1) == 8 and len(c1[0]) == 16
+    # centroids are genuine means, not input rows
+    as_rows = {tuple(np.round(v, 9)) for v in vecs}
+    assert sum(tuple(np.round(c, 9)) in as_rows for c in c1) <= 1
+
+    recalls = []
+    for qi in (0, 3, 17, 42):
+        q = vecs[qi]
+        sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+        exact = set(np.argsort(-sims)[:10])
+        got = {
+            r["vec_id"]
+            for r in ann_cosine_topk_ivf(
+                df, list(q), 10, n_centroids=8, n_probe=3
+            ).collect()
+        }
+        recalls.append(len(got & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
