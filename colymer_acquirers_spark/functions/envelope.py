@@ -12,14 +12,17 @@ These scalar/series functions are the byte-identity oracle shared with
 ``pyref``; the production plan uses the JVM-expression mirrors in
 ``envelope_expr.py`` (parity pinned by tests/test_envelope.py).
 
-FROZEN ENVELOPE RULES:
- 1. AUTHOR_NAME : first ``<meta name="author"    content="...">`` (ci;
-    name may be single- or double-quoted; content double-quoted wins over
-    single-quoted) → entity-decode, ws-collapse, strip; empty → NULL
+FROZEN ENVELOPE RULES — v2 (rules 1-3 and 6 are scoped to the HEAD
+SECTION, i.e. exactly the span rule 7 preserves as ``original_data``):
+ 1. AUTHOR_NAME : first ``<meta name="author"    content="...">`` in the
+    head section (ci; name may be single- or double-quoted; content
+    double-quoted wins over single-quoted) → entity-decode, ws-collapse,
+    strip; empty or no head → NULL
  2. AUTHOR_ID   : same with ``name="author-id"``
  3. PUBLISHED   : first ``<meta property="article:published_time"
-    content="...">``; value must be exactly ``yyyy-mm-ddThh:mm:ssZ``
-    (frozen to the UTC 'Z' form) → timestamp, else NULL
+    content="...">`` in the head section; value must be exactly
+    ``yyyy-mm-ddThh:mm:ssZ`` (frozen to the UTC 'Z' form) → timestamp,
+    else NULL
  4. PAGE CONTENT_TYPE (by url extension ladder, P13):
     html|htm → text/html; txt → text/plain; json → application/json;
     xml → application/xml; no extension → text/html;
@@ -35,15 +38,30 @@ FROZEN ENVELOPE RULES:
                      wav→audio/wav), else "<tag>/unknown"
       metadata     = width/height from integer attrs when present
       persist_info = directly_transfer=true, path=id[.ext], referer=base
- 6. VERSION     : first ``<meta name="version" content="...">`` (same
-    quoting precedence as rules 1-2); content must be 1-9 ASCII digits →
-    int, else NULL (reference ``edit_count``, weibo.py:230-231,276-277)
+ 6. VERSION     : first ``<meta name="version" content="...">`` in the
+    head section (same quoting precedence as rules 1-2); content must be
+    1-9 ASCII digits → int, else NULL (reference ``edit_count``,
+    weibo.py:230-231,276-277)
  7. ORIGINAL_DATA: the page's head section — the first
     ``<head ...> ... </head>`` span preserved VERBATIM (the reference's
     ``metadata.original_data`` raw-record passthrough, weibo.py:222-231,
     twitter.py:98-102: carry the envelope's source bytes so fields are
     re-derivable post-hoc); no head → NULL. Body-side media tags are
     already carried verbatim via attachments.original_url.
+
+RULE VERSION NOTE (v1 → v2): v1's meta rules 1-3 searched the WHOLE
+document. v2 scopes them (and rule 6) to the head section, which (a) makes
+the envelope self-consistent — every meta-derived field is re-derivable
+from the ``original_data`` passthrough alone, the property rule 7 exists
+for; (b) matches the HTML spec (meta elements belong in head); and (c)
+turns 8 full-document regex scans per page (4 metas × 2 quoting passes)
+into 1 head-extract plus 8 scans over a span that is typically hundreds of
+bytes — the envelope path is memory-bandwidth-bound at high core counts,
+so full-document passes are the scarce resource. Divergence vs v1 only
+for meta tags OUTSIDE the head (invalid HTML): now NULL. No golden hashes
+were persisted under v1 (pyref regenerates them and shares these
+functions); tests/test_envelope.py pins the v2 values including the
+outside-head case.
 """
 
 from __future__ import annotations
@@ -136,9 +154,19 @@ def _clean_series(s: pd.Series) -> pd.Series:
     return s.where(s != "", None)
 
 
+def _head_one(h: str | None) -> str | None:
+    if h is None:
+        return None
+    m = _HEAD_RE.search(h)
+    return m.group(0) if m else None
+
+
 def _meta_series(html: pd.Series, pat: re.Pattern, clean: bool) -> pd.Series:
+    # v2: meta rules search the head section only (see RULE VERSION NOTE)
     s = _to_str_series(html).astype("object")
-    out = s.map(lambda h: _meta_first(h, pat) if h is not None else None)
+    out = s.map(
+        lambda h: _meta_first(hd, pat) if (hd := _head_one(h)) is not None else None
+    )
     if clean:
         return _clean_series(out)
     return out
@@ -193,15 +221,7 @@ def extract_version_series(html: pd.Series) -> pd.Series:
 
 def extract_original_data_series(html: pd.Series) -> pd.Series:
     """FROZEN RULE 7 (vectorized): verbatim head section or None."""
-    s = _to_str_series(html).astype("object")
-
-    def head(h):
-        if h is None:
-            return None
-        m = _HEAD_RE.search(h)
-        return m.group(0) if m else None
-
-    return s.map(head)
+    return _to_str_series(html).astype("object").map(_head_one)
 
 
 def page_content_type_one(url: str | None) -> str | None:

@@ -40,10 +40,22 @@ def _nullif_empty(c: Column) -> Column:
     return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
 
 
-def _meta_expr(s: Column, attr: str, name: str) -> Column:
-    """FROZEN RULES 1-3 lookup: double-quoted content wins over single."""
-    d = F.regexp_extract(s, meta_pattern(attr, name, True), 1)
-    sg = F.regexp_extract(s, meta_pattern(attr, name, False), 1)
+def _head_expr(s: Column) -> Column:
+    """FROZEN RULE 7 span — also the search scope for rules 1-3 and 6.
+
+    Appears as an identical subtree under every meta field of
+    ``envelope_expr``; Spark's subexpression elimination evaluates it once
+    per row, so the envelope costs ONE full-document scan for the head
+    plus per-meta scans over the (typically hundreds-of-bytes) head span —
+    v1 did 8 full-document scans here."""
+    return _nullif_empty(F.regexp_extract(s, _HEAD_RE, 0))
+
+
+def _meta_expr(head: Column, attr: str, name: str) -> Column:
+    """FROZEN RULES 1-3/6 lookup over the head span: double-quoted content
+    wins over single."""
+    d = F.regexp_extract(head, meta_pattern(attr, name, True), 1)
+    sg = F.regexp_extract(head, meta_pattern(attr, name, False), 1)
     return F.coalesce(_nullif_empty(d), _nullif_empty(sg))
 
 
@@ -64,14 +76,18 @@ def extract_author_expr(html: Column | str, is_binary: bool = True) -> Column:
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
-    return _clean_expr(F.coalesce(_meta_expr(s, "name", "author"), F.lit("")))
+    return _clean_expr(
+        F.coalesce(_meta_expr(_head_expr(s), "name", "author"), F.lit(""))
+    )
 
 
 def extract_author_id_expr(html: Column | str, is_binary: bool = True) -> Column:
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
-    return _clean_expr(F.coalesce(_meta_expr(s, "name", "author-id"), F.lit("")))
+    return _clean_expr(
+        F.coalesce(_meta_expr(_head_expr(s), "name", "author-id"), F.lit(""))
+    )
 
 
 def extract_published_expr(html: Column | str, is_binary: bool = True) -> Column:
@@ -85,7 +101,7 @@ def extract_published_expr(html: Column | str, is_binary: bool = True) -> Column
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
-    raw = _meta_expr(s, "property", "article:published_time")
+    raw = _meta_expr(_head_expr(s), "property", "article:published_time")
     ok = raw.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
     return F.when(
         ok, F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))
@@ -98,7 +114,7 @@ def extract_version_expr(html: Column | str, is_binary: bool = True) -> Column:
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
-    raw = _meta_expr(s, "name", "version")
+    raw = _meta_expr(_head_expr(s), "name", "version")
     return F.when(raw.rlike(r"^\d{1,9}$"), raw.cast("int")).otherwise(
         F.lit(None).cast("int")
     )
@@ -111,7 +127,7 @@ def extract_original_data_expr(html: Column | str, is_binary: bool = True) -> Co
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
-    return _nullif_empty(F.regexp_extract(s, _HEAD_RE, 0))
+    return _head_expr(s)
 
 
 def _ext_map() -> Column:

@@ -220,9 +220,13 @@ def run_round(
     # run as CONCURRENT driver jobs in dependency phases (Spark interleaves
     # their tasks, filling executor slots one sequential job would idle):
     #   phase A: crawl_order (ranked cache) ∥ articles (materializes parsed)
-    #   phase B: attachments_new (parsed)  ∥ lineage (materializes links)
-    #   phase C: frontier_next (links)     ∥ new-url metric count
-    pool = ThreadPoolExecutor(max_workers=2)
+    #   phase B: attachments_new ∥ lineage ∥ frontier_next ∥ new-url count
+    # Phase B is ONE barrier (was two): lineage and frontier_next share the
+    # ``links`` cache, and Spark's block-level cache locking means the
+    # second job blocks on in-progress partitions instead of recomputing —
+    # so overlapping them is safe and hides frontier_next's planning gap
+    # (Catalyst on the merge-frontier tree) behind phase-B execution.
+    pool = ThreadPoolExecutor(max_workers=4)
 
     def _write(df, name):
         write_table(df, os.path.join(out_dir, name), mode="overwrite")
@@ -273,17 +277,6 @@ def run_round(
         F.lit(rnd).alias("round"), "src_url", "dst_url"
     ).dropDuplicates(["src_url", "dst_url"])
 
-    obs_atts = Observation()
-    fa = pool.submit(
-        _write,
-        atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
-        "attachments_new",
-    )
-    fb = pool.submit(_write, lineage, "lineage")
-    fa.result()
-    fb.result()
-    n_new_atts = obs_atts.get["n"]
-
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
     seen_now = (
         seen.select("canonical_url").union(seen_delta)
@@ -312,16 +305,28 @@ def run_round(
             )
         )
     frontier_next = merge_frontier(nxt).withColumn("host", host_of("canonical_url"))
+
+    obs_atts = Observation()
     obs_frontier = Observation()
-    fa = pool.submit(
-        _write,
-        frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")),
-        "frontier_next",
-    )
+    fs = [
+        pool.submit(
+            _write,
+            atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
+            "attachments_new",
+        ),
+        pool.submit(_write, lineage, "lineage"),
+        pool.submit(
+            _write,
+            frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")),
+            "frontier_next",
+        ),
+    ]
     n_new = (
         new_cands.select("canonical_url").distinct().count() if metrics_full else -1
     )
-    fa.result()
+    for f in fs:
+        f.result()
+    n_new_atts = obs_atts.get["n"]
     pool.shutdown(wait=True)
 
     metrics = {

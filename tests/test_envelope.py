@@ -33,15 +33,15 @@ FIXTURES = [
     '<meta property="article:published_time" content="2025-03-01T12:30:00Z">'
     "</head>",
     # single-quoted content; entity + whitespace cleanup
-    "<meta name='author' content='A &amp;  B '>",
+    "<head><meta name='author' content='A &amp;  B '></head>",
     # double-quoted wins over an earlier single-quoted match
-    "<meta name='author' content='second'>"
-    '<meta name="author" content="first">',
+    "<head><meta name='author' content='second'>"
+    '<meta name="author" content="first"></head>',
     # empty content -> null; malformed time -> null
-    '<meta name="author" content="">'
-    '<meta property="article:published_time" content="March 1, 2025">',
+    '<head><meta name="author" content="">'
+    '<meta property="article:published_time" content="March 1, 2025"></head>',
     # non-Z ISO form rejected by the frozen rule
-    '<meta property="article:published_time" content="2025-03-01T12:30:00+02:00">',
+    '<head><meta property="article:published_time" content="2025-03-01T12:30:00+02:00"></head>',
     # attachments: img/video/audio, relative + absolute src, dims, odd quotes
     '<img src="/media/a.jpg" width="640" height="480">'
     "<video src='../v/b.mp4'>"
@@ -58,13 +58,20 @@ FIXTURES = [
     # shape-valid but CALENDAR-invalid published values: month 13, day 32,
     # hour 25 pass the digit-shape rlike — must be NULL in every impl
     # (Python try/except ≡ JVM try_to_timestamp), not a crash or divergence
-    '<meta property="article:published_time" content="2025-13-01T00:00:00Z">',
-    '<meta property="article:published_time" content="2025-01-32T00:00:00Z">',
-    '<meta property="article:published_time" content="2025-01-01T25:00:00Z">',
+    '<head><meta property="article:published_time" content="2025-13-01T00:00:00Z"></head>',
+    '<head><meta property="article:published_time" content="2025-01-32T00:00:00Z"></head>',
+    '<head><meta property="article:published_time" content="2025-01-01T25:00:00Z"></head>',
     # FROZEN RULE 6 (version): valid; non-numeric → NULL; >9 digits → NULL
     '<head a="b"><meta name="version" content="7"></head >body',
-    '<meta name="version" content="v2">',
-    '<meta name="version" content="1234567890">',
+    '<head><meta name="version" content="v2"></head>',
+    '<head><meta name="version" content="1234567890"></head>',
+    # RULE v2 pin: meta tags OUTSIDE the head section are ignored (the
+    # envelope must be re-derivable from original_data alone)
+    '<head><title>t</title></head>'
+    '<body><meta name="author" content="Smuggled">'
+    '<meta name="version" content="3"></body>',
+    # meta with NO head at all: every meta-derived field NULL
+    '<meta name="author" content="Headless">',
 ]
 
 
@@ -93,8 +100,33 @@ def test_version_and_original_data_value_oracle():
 def test_published_calendar_invalid_is_null():
     """ADVICE r2: strptime used to CRASH on 2025-13-01T00:00:00Z (the
     shape regex admits it); both impls must now agree on NULL."""
-    bad = pd.Series([FIXTURES[-3], FIXTURES[-2], FIXTURES[-1]])
+    bad = pd.Series(
+        [
+            f'<head><meta property="article:published_time" content="{v}"></head>'
+            for v in (
+                "2025-13-01T00:00:00Z",
+                "2025-01-32T00:00:00Z",
+                "2025-01-01T25:00:00Z",
+            )
+        ]
+    )
     assert list(extract_published_series(bad)) == [None, None, None]
+
+
+def test_meta_rules_scoped_to_head():
+    """ENVELOPE RULES v2 value pins: metas outside the head (or with no
+    head at all) contribute nothing — the envelope is derivable from
+    original_data alone."""
+    s = pd.Series(
+        [
+            '<head><title>t</title></head>'
+            '<body><meta name="author" content="Smuggled">'
+            '<meta name="version" content="3"></body>',
+            '<meta name="author" content="Headless">',
+        ]
+    )
+    assert list(extract_author_series(s)) == [None, None]
+    assert list(extract_version_series(s)) == [None, None]
 
 
 def test_envelope_jvm_matches_python(spark):
