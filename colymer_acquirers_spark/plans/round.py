@@ -67,11 +67,21 @@ def bootstrap_frontier(seeds: DataFrame) -> DataFrame:
     return merge_frontier(f).withColumn("host", host_of("canonical_url"))
 
 
-def keyed_pages(pages: DataFrame) -> DataFrame:
-    """pages + canonical_url join key (null-canonical pages unreachable)."""
-    return pages.withColumn("canonical_url", canonicalize_url("url")).filter(
+def keyed_pages(pages: DataFrame, cluster: bool = True) -> DataFrame:
+    """pages + canonical_url join key (null-canonical pages unreachable).
+
+    cluster=True pre-partitions by the join key (the in-memory analog of
+    storing the warehouse pages table bucketed by canonical_url): the
+    cached layout then SATISFIES every round's fetch-join distribution
+    requirement, so the html bytes are shuffled ZERO times per crawl —
+    only the tiny frontier side moves each round."""
+    k = pages.withColumn("canonical_url", canonicalize_url("url")).filter(
         F.col("canonical_url").isNotNull()
     )
+    if cluster:
+        n = int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        k = k.repartition(n, F.col("canonical_url"))
+    return k
 
 
 def run_round(
@@ -155,11 +165,27 @@ def run_round(
     # 5. seen delta (not written — identical to crawl_order's url column)
     seen_delta = fetched.select("canonical_url")
 
-    # 6. fetch-simulate: equi-join on canonical_url (left: misses = dangling)
-    joined = fetched.select("canonical_url", "url", "priority", "depth").join(
-        pages_k.select("canonical_url", "html", "lang", "warc_ts"),
-        on="canonical_url",
-        how="left",
+    # 6. fetch-simulate: equi-join on canonical_url (left: misses = dangling).
+    # shuffle_hash hint, two reasons (both found by event-log audit — a
+    # 53 s / 2-task parse window at local[8]):
+    #  (a) NEVER broadcast the pages side. Catalyst's size estimate for a
+    #      stats-less pages relation can be absurdly low (a range-derived
+    #      source estimates bytes-per-row of the pre-projection schema),
+    #      and a broadcast of the html-bearing table is instant death at
+    #      scale — the frontier side is the small side, always.
+    #  (b) a broadcast join would make the parse stage INHERIT the left
+    #      side's host-partitioned, hot-host-skewed layout; the shuffled
+    #      join repartitions on canonical_url, which is uniform, and with
+    #      pages pre-clustered on the key (keyed_pages) only the tiny url
+    #      list actually moves.
+    joined = (
+        fetched.select("canonical_url", "url", "priority", "depth")
+        .hint("shuffle_hash")
+        .join(
+            pages_k.select("canonical_url", "html", "lang", "warc_ts"),
+            on="canonical_url",
+            how="left",
+        )
     )
     # 7. parse: content + links + envelope in one pass over html (JVM exprs
     # by default; parse_impl='arrow' moves content/title/links to a single
