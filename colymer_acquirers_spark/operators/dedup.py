@@ -260,3 +260,79 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def near_dup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pair edges → the CLUSTER
+    step every training-data dedup pipeline runs after pair generation
+    (LSH/SimHash/Jaccard emit PAIRS; dedup keeps one doc per transitive
+    cluster, not per pair).
+
+    Algorithm: iterative min-label propagation — each node's label becomes
+    the min of its own and its neighbors' labels; converges in O(graph
+    diameter) rounds. Near-dup graphs are overwhelmingly tiny cliques /
+    short chains (diameter ≤ ~3), so the loop usually exits after 2-3
+    rounds via the zero-changes check. Each round is one equi-join + one
+    groupBy-min per direction (all shuffles on the id key); the label
+    frame is localCheckpoint'ed per round to keep lineage flat. For
+    adversarial long-chain graphs at 10^10 edges, swap in large-star/
+    small-star (Kiveris et al.) — same join primitives, O(log n) rounds.
+
+    Returns (id, component) for every id appearing in ``pairs``;
+    component = min id of the cluster (deterministic representative).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's min-id representative.
+
+    Docs not in any pair are kept untouched (anti-join against the
+    non-representative set — one pass over the corpus, no join against
+    docs that never collided)."""
+    comp = near_dup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

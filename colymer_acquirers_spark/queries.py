@@ -506,6 +506,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ngram_jaccard_dfcap"] = ngram_jaccard_dfcap
 
+    # dedup CLUSTERING — the step after pair generation: transitive
+    # near-dup components (min-label propagation) under a DuckDB
+    # recursive-CTE reachability oracle; component = min reachable id
+    def near_dup_clusters(spark, sf):
+        from colymer_acquirers_spark.operators.dedup import near_dup_components
+
+        return near_dup_components(ngram_jaccard_pairs_sql(spark, sf))
+    q["near_dup_clusters"] = near_dup_clusters
+
+    # dedup FILTER — keep one representative (min id) per near-dup cluster,
+    # pass unpaired docs through untouched
+    def near_dup_dedup_filter(spark, sf):
+        from colymer_acquirers_spark.operators.dedup import (
+            dedup_keep_representatives,
+        )
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        pairs = ngram_jaccard_pairs_sql(spark, sf)
+        return dedup_keep_representatives(d, pairs, "doc_id")
+    q["near_dup_dedup_filter"] = near_dup_dedup_filter
+
     # envelope normalization (P1-P5): printf-built raw JSON → schema-on-read
     # projection + type-classification ladder + epoch→timestamp conversion
     def json_envelope_normalize(spark, sf):
@@ -895,6 +916,59 @@ def oracle_sql() -> dict[str, str]:
                    inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
             FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ix AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+              WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+            SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+        """,
+        "near_dup_dedup_filter": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3)),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            ix AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+              WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            comp AS (
+              SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
         """,
         "json_envelope_normalize": """
             WITH raw AS (

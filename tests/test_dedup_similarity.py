@@ -260,6 +260,48 @@ def test_ivf_assignment_and_recall(vectors):
     assert 3 in part and len(set(part) & set(exact)) >= 3
 
 
+def test_near_dup_components_matches_union_find(spark):
+    """Cluster step truth: min-label propagation ≡ union-find on a graph
+    with a 4-chain (diameter test), a triangle, a 2-clique, and ids that
+    force the representative to be the true transitive min."""
+    edges = [(10, 2), (2, 7), (7, 30),   # chain: min is 2
+             (5, 6), (6, 8), (5, 8),     # triangle: min 5
+             (100, 40)]                  # pair: min 40
+    from colymer_acquirers_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in near_dup_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected, (got, expected)
+    assert got[30] == 2 and got[8] == 5 and got[100] == 40
+
+
+def test_dedup_keep_representatives(spark):
+    from colymer_acquirers_spark.operators.dedup import dedup_keep_representatives
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (8, 9)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()
+    )
+    # clusters {1,3,5} → keep 1; {8,9} → keep 8; everything unpaired kept
+    assert kept == [0, 1, 2, 4, 6, 7, 8, 10, 11]
+
+
 def test_ivf_kmeans_centroids_deterministic_and_recall(vectors):
     """VERDICT r2 #7: IVF cells from deterministic sampled k-means (not the
     lowest-id placeholder). Same seed ⇒ bit-identical centroids; recall@10
