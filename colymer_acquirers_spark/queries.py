@@ -335,6 +335,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["token_count"] = token_count
 
+    # text-analysis — BPE-ish regex tokenizer count (the second half of the
+    # "whitespace + BPE-ish regex" token-counting pair): letter runs,
+    # single digits (BPE-style digit splitting), punctuation runs. Plain
+    # character classes only — the pattern means the same thing to Java
+    # regex (Spark) and RE2 (DuckDB oracle).
+    def token_count_bpe(spark, sf):
+        d = _t(spark, sf, "documents")
+        pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+        return d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    q["token_count_bpe"] = token_count_bpe
+
+    # text-analysis — C4-style composite quality FILTER (keep decision +
+    # per-signal booleans): token-count window, mean-token-length window,
+    # symbol-to-char ratio cap — the standard pre-training corpus gate
+    def c4_quality_filter(spark, sf):
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        n_tokens = F.size(toks).cast("long")
+        n_chars = F.length(F.col("text")).cast("long")
+        mean_len_x100 = F.floor(n_chars * 100 / n_tokens)
+        n_symbols = F.length(
+            F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", "")
+        ).cast("long")
+        tok_ok = (n_tokens >= 5) & (n_tokens <= 5000)
+        len_ok = (mean_len_x100 >= 300) & (mean_len_x100 <= 1200)
+        sym_ok = n_symbols * 10 <= n_chars  # ≤10% symbols
+        return d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            mean_len_x100.alias("mean_len_x100"),
+            n_symbols.alias("n_symbols"),
+            tok_ok.alias("tok_ok"),
+            len_ok.alias("len_ok"),
+            sym_ok.alias("sym_ok"),
+            (tok_ok & len_ok & sym_ok).alias("kept"),
+        )
+    q["c4_quality_filter"] = c4_quality_filter
+
     # text-analysis — quality scoring (length / avg token len / stopword hits)
     def quality_score(spark, sf):
         d = _t(spark, sf, "documents")
@@ -852,6 +895,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "c4_quality_filter": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_symbols
+              FROM documents)
+            SELECT doc_id,
+                   n_tokens,
+                   CAST(floor(n_chars * 100 / n_tokens) AS BIGINT) AS mean_len_x100,
+                   n_symbols,
+                   n_tokens BETWEEN 5 AND 5000 AS tok_ok,
+                   floor(n_chars * 100 / n_tokens) BETWEEN 300 AND 1200 AS len_ok,
+                   n_symbols * 10 <= n_chars AS sym_ok,
+                   (n_tokens BETWEEN 5 AND 5000)
+                     AND (floor(n_chars * 100 / n_tokens) BETWEEN 300 AND 1200)
+                     AND (n_symbols * 10 <= n_chars) AS kept
+            FROM m
         """,
         "quality_score": """
             SELECT doc_id,
