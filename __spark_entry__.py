@@ -99,6 +99,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out")
     out["streaming_dedup_articles"] = streaming_dedup_articles
 
+    def streaming_hourly_lang_counts(spark, sf):
+        """Z2 watermarked event-time windowed aggregation; batch-equality
+        oracle in tests/test_streaming.py."""
+        import tempfile
+
+        from colymer_acquirers_spark.streaming.stream_crawl import (
+            stream_hourly_lang_counts,
+        )
+
+        base = tempfile.mkdtemp(prefix="langcounts_q_")
+        pages_dir = f"{base}/pages"
+        _q.pages_from_documents(spark, sf).write.mode("overwrite").parquet(pages_dir)
+        stream_hourly_lang_counts(spark, pages_dir, f"{base}/ckpt", f"{base}/out")
+        return spark.read.parquet(f"{base}/out")
+    out["streaming_hourly_lang_counts"] = streaming_hourly_lang_counts
+
     def streaming_host_sessions(spark, sf):
         """Z6 custom stateful operator (applyInPandasWithState session
         windows with event-time timeout); batch-sessionization oracle in

@@ -43,6 +43,7 @@ def test_rows_only_inventory_is_explicit():
         "simhash_near_dup_pairs",
         "streaming_dedup_articles",
         "streaming_host_sessions",
+        "streaming_hourly_lang_counts",
     ], ROWS_ONLY
 
 
