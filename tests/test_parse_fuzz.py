@@ -96,6 +96,80 @@ def test_fuzz_parity_pandas_vs_jvm(spark):
         assert got_atts == exp_atts[i], (i, docs[i])
 
 
+def test_fuzz_parity_envelope_meta(spark):
+    """ENVELOPE RULES v2 fuzz: head-scoped meta extraction (author,
+    author-id, published, version) and the original_data passthrough must
+    agree pandas ≡ JVM on randomized head/meta/quoting/garbage combos —
+    including metas outside the head, absent heads, odd case, and
+    calendar-invalid timestamps."""
+    from colymer_acquirers_spark.functions.envelope import (
+        extract_author_id_series,
+        extract_author_series,
+        extract_original_data_series,
+        extract_published_series,
+        extract_version_series,
+    )
+    from colymer_acquirers_spark.functions.envelope_expr import envelope_expr
+
+    rng = random.Random(20260817)
+    _META_NAMES = ["author", "author-id", "version", "AUTHOR", "x-other"]
+    _VALUES = ["Ada", "A &amp; B", "", " pad ", "7", "v2", "007",
+               "1234567890", "2025-03-01T12:30:00Z", "2025-13-01T00:00:00Z",
+               "2025-03-01T12:30:00+02:00", "March 1"]
+
+    def meta(rng):
+        if rng.random() < 0.3:
+            name, attr = "article:published_time", "property"
+        else:
+            name, attr = rng.choice(_META_NAMES), "name"
+        q1, q2 = rng.choice("\"'"), rng.choice("\"'")
+        v = rng.choice(_VALUES)
+        tag = f"<meta {attr}={q1}{name}{q1} content={q2}{v}{q2}>"
+        return tag.upper() if rng.random() < 0.1 else tag
+
+    docs = []
+    for _ in range(300):
+        metas_in = "".join(meta(rng) for _ in range(rng.randint(0, 4)))
+        metas_out = "".join(meta(rng) for _ in range(rng.randint(0, 2)))
+        head_attr = rng.choice(["", ' lang="en"', " A=1"])
+        close_ws = rng.choice(["", " ", "\t"])
+        shape = rng.random()
+        if shape < 0.15:
+            doc = metas_in + "<body>x</body>"  # no head at all
+        elif shape < 0.25:
+            doc = f"<head{head_attr}>{metas_in}<body>x"  # unclosed head
+        else:
+            doc = (
+                f"<html><head{head_attr}><title>t</title>{metas_in}"
+                f"</head{close_ws}><body>{metas_out}y</body></html>"
+            )
+        docs.append(doc)
+
+    pdf = pd.DataFrame({"html": docs, "u": [BASE] * len(docs), "i": range(len(docs))})
+    exp = {
+        "author_id": extract_author_id_series(pdf["html"]),
+        "author_name": extract_author_series(pdf["html"]),
+        "published": extract_published_series(pdf["html"]),
+        "version": extract_version_series(pdf["html"]),
+        "original_data": extract_original_data_series(pdf["html"]),
+    }
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", envelope_expr("html", "u", is_binary=False).alias("e"))
+        .collect()
+    )
+    n_nontrivial = 0
+    for r in got:
+        i, e = r["i"], r["e"]
+        for f in ("author_id", "author_name", "version", "original_data"):
+            assert e[f] == exp[f][i], (f, i, docs[i], e[f], exp[f][i])
+        ep = exp["published"][i]
+        ep = None if ep is None else ep.replace(tzinfo=None)
+        assert e["published"] == ep, (i, docs[i])
+        n_nontrivial += e["original_data"] is not None
+    assert n_nontrivial > 150  # the corpus genuinely exercises the rules
+
+
 def test_fuzz_parity_canonicalize(spark):
     """canonicalize_url: JVM expression ≡ frozen pandas rule on randomized
     url-shaped strings (including junk that must canonicalize to null)."""
