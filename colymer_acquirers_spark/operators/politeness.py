@@ -25,6 +25,34 @@ def with_path(df: DataFrame, url_col: str = "canonical_url") -> DataFrame:
     return df.withColumn("path", F.regexp_extract(F.col(url_col), PATH_RE, 1))
 
 
+def budget_from_delay(
+    politeness: DataFrame,
+    round_seconds: float,
+    default_delay_s: float = 1.0,
+    max_budget: int = 1_000_000,
+) -> DataFrame:
+    """Derive per-host per-round fetch budgets from crawl delays — the
+    reference's actual politeness model (``Site.request_wrapper`` sleeps
+    ``request_interval`` between requests, colymer/sites/site.py:30-41;
+    2 s / 15 s per platform, scan.py:98,101,107). A host that must wait
+    ``d`` seconds between fetches can serve at most ``round_seconds / d``
+    fetches in one round, so the serialized-interval semantics and the
+    engine's budget-window semantics schedule the same number of URLs per
+    host per round: budget = max(1, floor(round_seconds / delay)).
+
+    Returns politeness with ``max_fetch_per_round`` REPLACED by the
+    derived value (NULL/non-positive delays → ``default_delay_s``);
+    feed the result to ``politeness_split``/``run_crawl``.
+    """
+    d = F.coalesce(F.col("crawl_delay_s"), F.lit(float(default_delay_s)))
+    d = F.when(d <= 0, F.lit(float(default_delay_s))).otherwise(d)
+    budget = F.least(
+        F.greatest(F.floor(F.lit(float(round_seconds)) / d), F.lit(1)),
+        F.lit(int(max_budget)),
+    ).cast("int")
+    return politeness.withColumn("max_fetch_per_round", budget)
+
+
 def robots_filter(
     candidates: DataFrame, robots: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:

@@ -106,3 +106,49 @@ def test_manifest_metrics_consistent(spark, crawled):
         assert m["candidates"] == m["blocked_robots"] + m["fetched"] + (
             m["throttled"]
         ), m
+
+
+def test_budget_from_delay_matches_interval_semantics(spark):
+    """Derived budgets = floor(round_seconds / crawl_delay): the
+    reference's serialized request_interval model (2 s / 15 s platforms)
+    and the engine's budget windows schedule the same per-host count."""
+    from colymer_acquirers_spark.operators.politeness import budget_from_delay
+
+    pol = spark.createDataFrame(
+        [
+            ("a.test", 99, 2.0),     # reference Weibo-ish interval
+            ("b.test", 99, 15.0),    # reference Instagram-ish interval
+            ("c.test", 99, None),    # unknown delay → default 1 s
+            ("d.test", 99, 0.0),     # degenerate → default 1 s
+            ("e.test", 99, 120.0),   # slower than the round → floor 1
+        ],
+        ["host", "max_fetch_per_round", "crawl_delay_s"],
+    )
+    got = {
+        r["host"]: r["max_fetch_per_round"]
+        for r in budget_from_delay(pol, round_seconds=60).collect()
+    }
+    assert got == {"a.test": 30, "b.test": 4, "c.test": 60, "d.test": 60,
+                   "e.test": 1}
+
+    # end-to-end: the derived budgets bind the crawl exactly like explicit ones
+    wd = None
+    import tempfile
+    wd = tempfile.mkdtemp(prefix="inv_delay_")
+    pages = synth_pages(spark, 150)
+    derived = budget_from_delay(
+        synth_politeness(spark).withColumn(
+            "crawl_delay_s", F.lit(20.0)
+        ),
+        round_seconds=60,  # → budget 3/host/round
+    )
+    run_crawl(spark, pages, synth_seeds(spark, 8), derived, None, wd,
+              max_rounds=2)
+    per_host = (
+        read_output(spark, wd, "crawl_order")
+        .select("round", host_of("url").alias("host"))
+        .groupBy("round", "host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per_host and all(r["n"] <= 3 for r in per_host), per_host
