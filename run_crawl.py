@@ -48,6 +48,10 @@ def main() -> int:
                     help="skip metrics-only count jobs")
     ap.add_argument("--compact-every", type=int, default=8,
                     help="compact seen/pinned state every K rounds (0=never)")
+    ap.add_argument("--round-seconds", type=float, default=None,
+                    help="derive per-host budgets from politeness "
+                         "crawl_delay_s (floor(round_seconds/delay)) "
+                         "instead of using max_fetch_per_round as given")
     args = ap.parse_args()
 
     spark = get_spark(app_name="run_crawl", master=args.master)
@@ -66,6 +70,13 @@ def main() -> int:
         seeds = spark.read.parquet(args.seeds)
         politeness = spark.read.parquet(args.politeness) if args.politeness else None
         robots = spark.read.parquet(args.robots) if args.robots else None
+
+    if args.round_seconds and politeness is not None:
+        from colymer_acquirers_spark.operators.politeness import (
+            budget_from_delay,
+        )
+
+        politeness = budget_from_delay(politeness, args.round_seconds)
 
     summary = run_crawl(
         spark, pages, seeds, politeness, robots, args.workdir,
