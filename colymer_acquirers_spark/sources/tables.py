@@ -49,8 +49,26 @@ def write_table(
     w.parquet(identifier)
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"committed": True, "schema": df.schema.simpleString()}, f)
+        json.dump(
+            {
+                "committed": True,
+                "schema": df.schema.simpleString(),
+                # recorded so row-level rewrites preserve the layout
+                "partition_by": list(partition_by or []),
+            },
+            f,
+        )
     os.replace(tmp, marker)
+
+
+def table_partitioning(identifier: str) -> list[str]:
+    """Partition columns recorded at commit time ([] for unpartitioned or
+    pre-existing markers without the field)."""
+    marker = os.path.join(os.path.normpath(identifier), "_TABLE_COMMIT")
+    if not os.path.exists(marker):
+        return []
+    with open(marker) as f:
+        return list(json.load(f).get("partition_by") or [])
 
 
 def read_table(spark: SparkSession, identifier: str, schema=None) -> DataFrame:
@@ -86,7 +104,10 @@ def _replace_committed(df: DataFrame, identifier: str) -> None:
     staging, old = ident + ".__staging", ident + ".__old"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    write_table(df, staging, mode="overwrite")
+    # a row-level rewrite must not silently flatten a partitioned table
+    write_table(
+        df, staging, mode="overwrite", partition_by=table_partitioning(ident)
+    )
     os.rename(ident, old)
     os.rename(staging, ident)
     shutil.rmtree(old)

@@ -93,6 +93,37 @@ def test_upsert_and_delete_rows(spark, tmp_path):
     assert read_table(spark, path2).count() == 2
 
 
+def test_row_level_rewrite_preserves_partitioning(spark, tmp_path):
+    """A partitioned table stays partitioned through upsert/delete (the
+    layout is recorded in the commit marker and reapplied on rewrite)."""
+    import os
+
+    from colymer_acquirers_spark.sources.tables import (
+        delete_rows,
+        table_partitioning,
+        upsert_rows,
+    )
+
+    path = str(tmp_path / "parts")
+    df = spark.range(20).selectExpr("id", "id % 3 AS bucket", "id * 2 AS v")
+    write_table(df, path, mode="overwrite", partition_by=["bucket"])
+    assert table_partitioning(path) == ["bucket"]
+    assert any(n.startswith("bucket=") for n in os.listdir(path))
+
+    upsert_rows(
+        spark, path, spark.createDataFrame([(5, 2, 999)], ["id", "bucket", "v"]),
+        ["id"],
+    )
+    assert table_partitioning(path) == ["bucket"]
+    assert any(n.startswith("bucket=") for n in os.listdir(path))
+    got = {r["id"]: (r["bucket"], r["v"]) for r in read_table(spark, path).collect()}
+    assert got[5] == (2, 999) and len(got) == 20
+
+    delete_rows(spark, path, spark.createDataFrame([(0,)], ["id"]), ["id"])
+    assert any(n.startswith("bucket=") for n in os.listdir(path))
+    assert read_table(spark, path).count() == 19
+
+
 def test_failed_rewrite_preserves_prior_committed_state(
     spark, tmp_path, monkeypatch
 ):
