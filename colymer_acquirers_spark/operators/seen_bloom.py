@@ -72,6 +72,8 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarra
 
 
 class BloomSeen:
+    SCHEMA = BLOOM_SCHEMA  # shard-table schema (crawl loop reads via this)
+
     def __init__(
         self,
         n_shards: int = DEFAULT_SHARDS,

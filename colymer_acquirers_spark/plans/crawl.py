@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from colymer_acquirers_spark import schemas
 from colymer_acquirers_spark.operators.seen import compact_seen
-from colymer_acquirers_spark.operators.seen_bloom import BLOOM_SCHEMA, BloomSeen
+from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
+from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
 from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
 from colymer_acquirers_spark.sources.tables import read_table, write_table
 
@@ -258,13 +259,17 @@ def run_crawl(
 
     all_metrics = [read_manifest(workdir, k)["metrics"] for k in done]
 
-    # resume must probe with the geometry the persisted bloom bytes were
-    # built with (it may have been auto-resized since the run began)
+    # resume must probe with the kind and geometry the persisted shard
+    # bytes were built with (the filter may be a bloom OR a cuckoo, and a
+    # bloom may have been auto-resized since the run began) — dispatch on
+    # the persisted table's own columns
     if use_bloom and done:
         last_bloom = os.path.join(_round_dir(workdir, done[-1]), "bloom")
         if os.path.exists(last_bloom):
-            persisted = BloomSeen.from_table(
-                spark.read.schema(BLOOM_SCHEMA).parquet(last_bloom)
+            peek = spark.read.parquet(last_bloom)
+            kind = CuckooSeen if "table" in peek.columns else BloomSeen
+            persisted = kind.from_table(
+                spark.read.schema(kind.SCHEMA).parquet(last_bloom)
             )
             if persisted is not None:
                 bloom_filter = persisted
@@ -280,7 +285,7 @@ def run_crawl(
         if use_bloom and rnd > 0:
             bloom_path = os.path.join(_round_dir(workdir, rnd - 1), "bloom")
             if os.path.exists(bloom_path):
-                bloom = spark.read.schema(BLOOM_SCHEMA).parquet(bloom_path)
+                bloom = spark.read.schema(bloom_filter.SCHEMA).parquet(bloom_path)
         rd = _round_dir(workdir, rnd)
         # clean any uncommitted leftovers from a crashed attempt
         if os.path.isdir(rd) and not os.path.exists(_manifest_path(workdir, rnd)):
@@ -355,8 +360,15 @@ def run_crawl(
                     mode="overwrite",
                 )
             # bloom re-size at compaction (occupancy check is pure driver
-            # arithmetic: accumulated inserts = rank_offset + initial seen)
-            if use_bloom and bloom_autosize and full is not None:
+            # arithmetic: accumulated inserts = rank_offset + initial seen).
+            # Bloom-only: a cuckoo filter's stash absorbs overload exactly,
+            # so it degrades in speed, not correctness
+            if (
+                use_bloom
+                and bloom_autosize
+                and isinstance(bloom_filter, BloomSeen)
+                and full is not None
+            ):
                 n_inserted = rank_offset + n_seen_base
                 if bloom_filter.estimated_fpr(n_inserted) > 2 * bloom_target_fpr:
                     bloom_filter = BloomSeen.sized(

@@ -1,0 +1,112 @@
+"""Cuckoo seen-shard soundness: like the bloom (never false-negative,
+rarely false-positive) PLUS deletion — the capability a bloom cannot have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
+
+
+def _urls(spark, start, n, salt=""):
+    return spark.range(start, start + n).select(
+        F.concat(F.lit(f"https://h{salt}"), (F.col("id") % 13).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string")).alias("canonical_url")
+    )
+
+
+def test_no_false_negatives(spark):
+    cs = CuckooSeen(n_shards=8, n_buckets=1 << 10)
+    seen = _urls(spark, 0, 5000)
+    shards = cs.build_delta(seen)
+    probed = cs.probe(seen.withColumn("priority", F.lit(0)), shards)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    assert probed.count() == 5000
+
+
+def test_unseen_mostly_negative(spark):
+    cs = CuckooSeen(n_shards=8, n_buckets=1 << 10)
+    shards = cs.build_delta(_urls(spark, 0, 3000)).persist()
+    probed = cs.probe(_urls(spark, 100000, 3000), shards).persist()
+    n_maybe = probed.filter(F.col("maybe_seen")).count()
+    # 16-bit fingerprints: FPR ≈ 2·4/2^16 ≈ 1.2e-4 → expect ~0-2 of 3000
+    assert n_maybe <= 10, n_maybe
+
+
+def test_stash_overflow_keeps_soundness(spark):
+    """A deliberately over-full filter (64-slot shards, 400 urls) must
+    route overflow to the exact stash, never drop an inserted url."""
+    cs = CuckooSeen(n_shards=2, n_buckets=16)
+    seen = _urls(spark, 0, 400)
+    shards = cs.build_delta(seen)
+    probed = cs.probe(seen, shards)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_merge_is_union(spark):
+    cs = CuckooSeen(n_shards=4, n_buckets=1 << 10)
+    a = cs.build_delta(_urls(spark, 0, 1000))
+    b = cs.build_delta(_urls(spark, 1000, 1000))
+    merged = cs.merge(a.unionByName(b))
+    assert merged.count() <= 4
+    probed = cs.probe(_urls(spark, 0, 2000), merged)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_delete_forgets_without_false_dropping_survivors(spark):
+    """The bloom-impossible operation: deleted urls probe negative again
+    (≈ FPR), every survivor still probes positive."""
+    cs = CuckooSeen(n_shards=4, n_buckets=1 << 10)
+    seen = _urls(spark, 0, 2000).persist()
+    doomed = seen.filter(F.xxhash64("canonical_url") % 4 == 0).persist()
+    survivors = seen.subtract(doomed)
+    shards = cs.delete_urls(cs.build_delta(seen), doomed).persist()
+    # survivors: unconditional no-false-negative (each insert holds its own
+    # slot copy, so deleting a twin's fingerprint cannot strip a survivor)
+    assert cs.probe(survivors, shards).filter(~F.col("maybe_seen")).count() == 0
+    # doomed urls are forgotten (up to fingerprint-collision FPR)
+    still = cs.probe(doomed, shards).filter(F.col("maybe_seen")).count()
+    assert still <= 5, still
+    seen.unpersist(); doomed.unpersist()
+
+
+def test_sized_and_self_description(spark):
+    cs = CuckooSeen.sized(1_000_000, occupancy=0.9)
+    cap = cs.n_shards * cs.n_buckets * cs.slots
+    assert cap >= 1_000_000 / 0.9 * 0.99  # geometric capacity with headroom
+    assert cs.n_buckets & (cs.n_buckets - 1) == 0  # power of two (XOR partner)
+    t = CuckooSeen(n_shards=3, n_buckets=64).build_delta(_urls(spark, 0, 50))
+    back = CuckooSeen.from_table(t)
+    assert back.params() == {"n_shards": 3, "n_buckets": 64, "slots": 4}
+
+
+def test_crawl_with_cuckoo_filter_identical_and_resumable(spark, tmp_path):
+    """The cuckoo tier is a drop-in seen prefilter for the crawl loop:
+    results identical to the exact-only run, resume reconstructs the
+    filter kind+geometry from the persisted shard table."""
+    from colymer_acquirers_spark.plans.crawl import read_output, run_crawl
+    from colymer_acquirers_spark.sources.synth import (
+        synth_pages,
+        synth_politeness,
+        synth_seeds,
+    )
+
+    pages = synth_pages(spark, 300).persist()
+    seeds = synth_seeds(spark, 6)
+    pol = synth_politeness(spark)
+
+    wd_c = str(tmp_path / "cuckoo")
+    run_crawl(spark, pages, seeds, pol, None, wd_c, max_rounds=2,
+              use_bloom=True, bloom_filter=CuckooSeen(n_shards=4, n_buckets=256))
+    # resume two more rounds WITHOUT passing the filter: kind + geometry
+    # must come from the persisted table
+    run_crawl(spark, pages, seeds, pol, None, wd_c, max_rounds=4, use_bloom=True)
+
+    wd_e = str(tmp_path / "exact")
+    run_crawl(spark, pages, seeds, pol, None, wd_e, max_rounds=4)
+
+    a = [r["url"] for r in read_output(spark, wd_c, "crawl_order").orderBy("rank").collect()]
+    b = [r["url"] for r in read_output(spark, wd_e, "crawl_order").orderBy("rank").collect()]
+    assert a == b and len(a) > 30
+    pages.unpersist()
