@@ -107,6 +107,37 @@ def _committed_compactions(workdir: str) -> list[int]:
     )
 
 
+def _committed_evictions(workdir: str, upto: int | None = None) -> list[int]:
+    d = os.path.join(workdir, "evictions")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n)
+        for n in os.listdir(d)
+        if n.isdigit()
+        and os.path.exists(os.path.join(d, n, "_TABLE_COMMIT"))
+        and (upto is None or int(n) <= upto)
+    )
+
+
+def _evictions_df(
+    spark: SparkSession, workdir: str, stamps: list[int]
+) -> DataFrame | None:
+    """(canonical_url, as_of) union of the given committed eviction tables."""
+    if not stamps:
+        return None
+    parts = [
+        read_table(spark, os.path.join(workdir, "evictions", str(s)))
+        .select("canonical_url")
+        .withColumn("as_of", F.lit(s))
+        for s in stamps
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_seen(
     spark: SparkSession,
     workdir: str,
@@ -114,7 +145,7 @@ def read_seen(
     seen_base: DataFrame | None = None,
 ) -> DataFrame | None:
     """Seen state after rounds ≤ ``upto``: latest committed compaction plus
-    the tail deltas behind it.
+    the tail deltas behind it, minus committed EVICTIONS (re-crawl).
 
     Reference analog: block splicing (``acquirer.py:46-58``) — without
     compaction a long crawl re-reads every prior round's crawl_order each
@@ -122,6 +153,14 @@ def read_seen(
     bounded by ``compact_every`` regardless of round number. Compaction is
     pure state reorganization: the set is identical, so results never
     depend on whether/when it ran.
+
+    Eviction semantics (``evict_seen``): an eviction stamped ``as_of=R``
+    removes fetches made at rounds ≤ R — a RE-fetch of the same url at a
+    round > R re-enters seen and is NOT re-evicted (otherwise the url
+    would recrawl forever). The compaction base covers rounds ≤ lo, so an
+    eviction with as_of ≥ lo subtracts from it wholesale; older evictions
+    are already baked into that compaction. Tail deltas carry their round
+    stamp, so the subtraction condition is exact: as_of ≥ delta round.
     """
     comps = [c for c in _committed_compactions(workdir) if c <= upto]
     lo = -1
@@ -131,20 +170,98 @@ def read_seen(
         base = read_table(
             spark, os.path.join(workdir, "seen_compact", str(lo)), schema=schemas.SEEN
         )
+    ev_stamps = _committed_evictions(workdir, upto)
+    if base is not None:
+        base = base.select("canonical_url")
+        base_ev = _evictions_df(
+            spark, workdir, [s for s in ev_stamps if s >= lo]
+        )
+        if base_ev is not None:
+            base = base.join(
+                F.broadcast(base_ev.select("canonical_url").distinct()),
+                on="canonical_url",
+                how="left_anti",
+            )
     ks = [k for k in committed_rounds(workdir) if lo < k <= upto]
     paths = [
         p
         for p in (os.path.join(_round_dir(workdir, k), "crawl_order") for k in ks)
         if os.path.exists(p)
     ]
-    delta = (
-        spark.read.parquet(*paths).select(F.col("url").alias("canonical_url"))
-        if paths
-        else None
-    )
+    delta = None
+    if paths:
+        delta = spark.read.parquet(*paths).select(
+            F.col("url").alias("canonical_url"), "round"
+        )
+        ev = _evictions_df(spark, workdir, ev_stamps)
+        if ev is not None:
+            e = F.broadcast(ev).alias("e")
+            delta = delta.alias("d").join(
+                e,
+                (F.col("d.canonical_url") == F.col("e.canonical_url"))
+                & (F.col("e.as_of") >= F.col("d.round")),
+                how="left_anti",
+            )
+        delta = delta.select("canonical_url")
     if base is None:
         return delta
-    return base if delta is None else base.select("canonical_url").unionByName(delta)
+    return base if delta is None else base.unionByName(delta)
+
+
+def evict_seen(
+    spark: SparkSession,
+    workdir: str,
+    urls: DataFrame,
+    clean_prefilter: bool = True,
+) -> int:
+    """Remove urls from the seen state so a later run RE-FETCHES them —
+    the re-crawl primitive (reference analog: a platform item is
+    re-acquired when edited; the article's ``version``/edit_count field
+    records the change, weibo.py:230-231, and S13 upsert_rows replaces the
+    stored row).
+
+    Stamped with the last committed round: only fetches at rounds ≤ stamp
+    are forgotten, so the re-fetch itself stays seen afterwards. With a
+    cuckoo prefilter the shard fingerprints are deleted too (the operation
+    a bloom cannot do); with a bloom the stale positive just routes those
+    urls through the exact backstop, which now correctly misses. Pair with
+    ``run_crawl(..., reseed=urls)`` so the urls re-enter the frontier.
+
+    Returns the eviction stamp (as_of round).
+    """
+    from colymer_acquirers_spark.functions.canonical import canonicalize_url
+    from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
+
+    done = committed_rounds(workdir)
+    as_of = done[-1] if done else 0
+    canon = (
+        urls.select(canonicalize_url("url").alias("canonical_url"))
+        if "canonical_url" not in urls.columns
+        else urls.select("canonical_url")
+    ).filter(F.col("canonical_url").isNotNull()).dropDuplicates(["canonical_url"])
+    path = os.path.join(workdir, "evictions", str(as_of))
+    if os.path.exists(os.path.join(path, "_TABLE_COMMIT")):
+        canon = (
+            read_table(spark, path).unionByName(canon)
+            .dropDuplicates(["canonical_url"])
+            .localCheckpoint(eager=True)
+        )
+    write_table(canon, path, mode="overwrite")
+
+    if clean_prefilter and done:
+        bloom_path = os.path.join(_round_dir(workdir, done[-1]), "bloom")
+        if os.path.exists(bloom_path):
+            peek = spark.read.parquet(bloom_path)
+            if "table" in peek.columns:  # cuckoo: supports deletion
+                cs = CuckooSeen.from_table(peek)
+                updated = cs.delete_urls(
+                    spark.read.schema(cs.SCHEMA).parquet(bloom_path), canon
+                )
+                tmp = bloom_path + ".__evict"
+                updated.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(bloom_path)
+                os.rename(tmp, bloom_path)
+    return as_of
 
 
 def read_pinned(spark: SparkSession, workdir: str, upto: int) -> DataFrame | None:
@@ -196,6 +313,7 @@ def run_crawl(
     compact_every: int = 8,
     bloom_target_fpr: float = 0.01,
     bloom_autosize: bool = True,
+    reseed: DataFrame | None = None,
 ) -> dict:
     """Run (or resume) up to ``max_rounds`` crawl rounds; returns summary.
 
@@ -255,6 +373,25 @@ def run_crawl(
         rank_offset = 0
         start_round = 0
         frontier = bootstrap_frontier(seeds).persist()
+        frontier_count = frontier.count()
+
+    if reseed is not None:
+        # re-crawl injection (pairs with evict_seen): merge extra seeds into
+        # the current frontier. Idempotent under crash-resume: urls already
+        # re-fetched are back in seen, so the in-round dedup drops them
+        cols = ["canonical_url", "url", "priority", "depth", "discovered_round"]
+        from colymer_acquirers_spark.functions.canonical import host_of as _hof
+        from colymer_acquirers_spark.operators.seen import merge_frontier
+
+        frontier = (
+            merge_frontier(
+                frontier.select(*cols).unionByName(
+                    bootstrap_frontier(reseed).select(*cols)
+                )
+            )
+            .withColumn("host", _hof("canonical_url"))
+            .persist()
+        )
         frontier_count = frontier.count()
 
     all_metrics = [read_manifest(workdir, k)["metrics"] for k in done]

@@ -1,0 +1,129 @@
+"""Re-crawl via seen-set eviction (evict_seen + reseed): the engine-side
+analog of re-acquiring an edited platform item (reference: edit_count /
+version, weibo.py:230-231) — forget a fetched url, re-fetch it once, and
+have the re-fetch re-enter seen normally."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
+from colymer_acquirers_spark.plans.crawl import evict_seen, read_output, run_crawl
+from colymer_acquirers_spark.sources.synth import (
+    synth_pages,
+    synth_politeness,
+    synth_seeds,
+)
+
+
+def _run_sequence(spark, wd, pages, seeds, pol, **crawl_kw):
+    """crawl 3 → evict the rank-0 url → reseed + crawl to 5 → reseed AGAIN
+    without evicting + crawl to 6. Returns (crawl_order rows, url)."""
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=3, **crawl_kw)
+    url = (
+        read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
+    )
+    target = spark.createDataFrame(
+        [(url, 0)], ["url", "priority"]
+    )
+    stamp = evict_seen(spark, wd, target.select("url"))
+    assert stamp == 2  # last committed round
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=5,
+              reseed=target, **crawl_kw)
+    # reseed WITHOUT eviction: the re-fetch is seen again → no third fetch
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=6,
+              reseed=target, **crawl_kw)
+    rows = read_output(spark, wd, "crawl_order").orderBy("rank").collect()
+    return rows, url
+
+
+def test_evict_refetches_exactly_once(spark, tmp_path):
+    pages = synth_pages(spark, 300).persist()
+    seeds = synth_seeds(spark, 6)
+    pol = synth_politeness(spark)
+    rows, url = _run_sequence(spark, str(tmp_path / "wd"), pages, seeds, pol)
+    fetch_rounds = [r["round"] for r in rows if r["url"] == url]
+    # fetched in its original round AND exactly once more, at round 3
+    assert len(fetch_rounds) == 2, fetch_rounds
+    assert fetch_rounds[1] == 3, fetch_rounds
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+
+    # determinism: replay the whole crawl/evict/reseed sequence → identical
+    rows2, url2 = _run_sequence(
+        spark, str(tmp_path / "wd2"), pages, seeds, pol
+    )
+    assert url2 == url
+    assert [(r["rank"], r["url"], r["round"]) for r in rows2] == [
+        (r["rank"], r["url"], r["round"]) for r in rows
+    ]
+    pages.unpersist()
+
+
+def test_evict_with_cuckoo_prefilter_cleans_shards(spark, tmp_path):
+    """Same flow under the delete-capable prefilter: results identical to
+    the exact-only eviction run, and the persisted cuckoo shards actually
+    forget the url (probe flips to definitely-unseen)."""
+    import os
+
+    pages = synth_pages(spark, 300).persist()
+    seeds = synth_seeds(spark, 6)
+    pol = synth_politeness(spark)
+
+    wd = str(tmp_path / "cuckoo")
+    kw = dict(use_bloom=True,
+              bloom_filter=CuckooSeen(n_shards=4, n_buckets=1 << 10))
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=3, **kw)
+    url = read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
+    target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+
+    bloom_path = os.path.join(wd, "rounds", "2", "bloom")
+    cs = CuckooSeen.from_table(spark.read.parquet(bloom_path))
+    probe_df = spark.createDataFrame([(url,)], ["canonical_url"])
+    before = cs.probe(probe_df, spark.read.schema(cs.SCHEMA).parquet(bloom_path))
+    assert before.first()["maybe_seen"] is True
+
+    evict_seen(spark, wd, target.select("url"))
+    after = cs.probe(probe_df, spark.read.schema(cs.SCHEMA).parquet(bloom_path))
+    assert after.first()["maybe_seen"] is False  # shards forgot the url
+
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=5,
+              reseed=target, use_bloom=True)
+    rows = read_output(spark, wd, "crawl_order").orderBy("rank").collect()
+    fetch_rounds = [r["round"] for r in rows if r["url"] == url]
+    assert len(fetch_rounds) == 2 and fetch_rounds[1] == 3, fetch_rounds
+
+    # exact-path control run: same ordering with no prefilter at all
+    wd_e = str(tmp_path / "exact")
+    run_crawl(spark, pages, seeds, pol, None, wd_e, max_rounds=3)
+    evict_seen(spark, wd_e, target.select("url"))
+    run_crawl(spark, pages, seeds, pol, None, wd_e, max_rounds=5, reseed=target)
+    rows_e = read_output(spark, wd_e, "crawl_order").orderBy("rank").collect()
+    assert [(r["rank"], r["url"]) for r in rows] == [
+        (r["rank"], r["url"]) for r in rows_e
+    ]
+    pages.unpersist()
+
+
+def test_eviction_survives_compaction(spark, tmp_path):
+    """A re-fetch AFTER the eviction stamp re-enters seen permanently, even
+    across a later compaction: only fetches ≤ the stamp are forgotten."""
+    pages = synth_pages(spark, 300).persist()
+    seeds = synth_seeds(spark, 6)
+    pol = synth_politeness(spark)
+    wd = str(tmp_path / "wd")
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=2,
+              compact_every=2)
+    url = read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
+    target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+    evict_seen(spark, wd, target.select("url"))
+    # rounds 2..5 with compactions at 3 and 5 — the re-fetch (round 2) must
+    # stay seen through both
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=6,
+              reseed=target, compact_every=2)
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=8,
+              reseed=target, compact_every=2)
+    rows = read_output(spark, wd, "crawl_order").orderBy("rank").collect()
+    fetch_rounds = [r["round"] for r in rows if r["url"] == url]
+    assert len(fetch_rounds) == 2, fetch_rounds
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    pages.unpersist()
