@@ -99,6 +99,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{base}/out")
     out["streaming_dedup_articles"] = streaming_dedup_articles
 
+    def flagship_recrawl(spark, sf):
+        """Re-crawl flow end-to-end: crawl 2 rounds → evict the first
+        fetched url (round-stamped seen eviction) → reseed + resume to 4
+        rounds. The returned crawl_order contains that url TWICE — the
+        value oracles (exactly-once re-fetch, determinism, compaction
+        interplay) live in tests/test_evict_recrawl.py."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from colymer_acquirers_spark.plans.crawl import (
+            evict_seen,
+            read_output,
+            run_crawl,
+        )
+
+        pages = _q.pages_from_documents(spark, sf)
+        seeds = pages.orderBy("url").limit(5).select(
+            "url", F.lit(0).cast("int").alias("priority")
+        )
+        wd = tempfile.mkdtemp(prefix="recrawl_q_")
+        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
+        url = read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
+        target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+        evict_seen(spark, wd, target.select("url"))
+        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=4,
+                  reseed=target)
+        return read_output(spark, wd, "crawl_order").orderBy("rank")
+    out["flagship_recrawl"] = flagship_recrawl
+
     def streaming_hourly_lang_counts(spark, sf):
         """Z2 watermarked event-time windowed aggregation; batch-equality
         oracle in tests/test_streaming.py."""

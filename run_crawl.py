@@ -57,6 +57,10 @@ def main() -> int:
                     help="derive per-host budgets from politeness "
                          "crawl_delay_s (floor(round_seconds/delay)) "
                          "instead of using max_fetch_per_round as given")
+    ap.add_argument("--evict", metavar="PARQUET",
+                    help="re-crawl: evict these urls (column `url`) from "
+                         "the seen state and reseed them into the frontier "
+                         "before running")
     args = ap.parse_args()
 
     spark = get_spark(app_name="run_crawl", master=args.master)
@@ -89,6 +93,16 @@ def main() -> int:
 
         politeness = budget_from_delay(politeness, args.round_seconds)
 
+    reseed = None
+    if args.evict:
+        from pyspark.sql import functions as F
+
+        from colymer_acquirers_spark.plans.crawl import evict_seen
+
+        evicted = spark.read.parquet(args.evict).select("url")
+        evict_seen(spark, args.workdir, evicted)
+        reseed = evicted.withColumn("priority", F.lit(0).cast("int"))
+
     summary = run_crawl(
         spark, pages, seeds, politeness, robots, args.workdir,
         max_rounds=args.rounds, default_budget=args.default_budget,
@@ -97,6 +111,7 @@ def main() -> int:
         parse_impl=args.parse_impl,
         metrics_full=not args.fast_metrics,
         compact_every=args.compact_every,
+        reseed=reseed,
     )
     print(json.dumps(summary, default=int))
     return 0

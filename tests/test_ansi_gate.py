@@ -38,6 +38,7 @@ def test_rows_only_inventory_is_explicit():
         "crawl_attachments_pipeline",
         "embedding_near_dup_lsh_pairs",
         "flagship_crawl_articles",
+        "flagship_recrawl",
         "minhash_lsh_candidate_pairs",
         "multimodal_image_features",
         "simhash_near_dup_pairs",
