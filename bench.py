@@ -143,6 +143,12 @@ def run_bench() -> dict:
         "ann_cosine_topk",
         "crawl_one_round_schedule",
         "dedup_exact_hash",
+        # round-3 additions (new keys only — earlier keys stay comparable
+        # across rounds): dedup/text-analysis families at sf scale
+        "simhash16",
+        "ngram_jaccard_dfcap",
+        "token_count_bpe",
+        "repetition_signals",
     ]
     qmap = queries()
     for name in headline:

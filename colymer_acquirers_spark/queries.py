@@ -378,6 +378,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["c4_quality_filter"] = c4_quality_filter
 
+    # text-analysis — Gopher-style repetition signals: distinct-token
+    # fraction and top-token share (the "repetitious document" family of
+    # pre-training filters), computed with one explode + one two-level agg
+    def repetition_signals(spark, sf):
+        d = _t(spark, sf, "documents")
+        toks = d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        per_word = toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return (
+            per_word.groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_count"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                "n_distinct",
+                F.floor(F.col("n_distinct") * 1000 / F.col("n_tokens")).alias(
+                    "distinct_frac_x1000"
+                ),
+                F.floor(F.col("top_count") * 1000 / F.col("n_tokens")).alias(
+                    "top_token_frac_x1000"
+                ),
+                # Gopher-ish gate: repetitious if the single most common
+                # token exceeds 20% of the doc or <30% of tokens are unique
+                (
+                    (F.col("top_count") * 5 <= F.col("n_tokens"))
+                    & (F.col("n_distinct") * 10 >= F.col("n_tokens") * 3)
+                ).alias("kept"),
+            )
+        )
+    q["repetition_signals"] = repetition_signals
+
     # text-analysis — quality scoring (length / avg token len / stopword hits)
     def quality_score(spark, sf):
         d = _t(spark, sf, "documents")
@@ -984,6 +1022,25 @@ def oracle_sql() -> dict[str, str]:
                    inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
             FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
+        """,
+        "repetition_signals": """
+            WITH per_word AS (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY doc_id, w),
+            m AS (
+              SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                     MAX(c) AS top_count
+              FROM per_word GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_distinct,
+                   CAST(floor(n_distinct * 1000 / n_tokens) AS BIGINT)
+                     AS distinct_frac_x1000,
+                   CAST(floor(top_count * 1000 / n_tokens) AS BIGINT)
+                     AS top_token_frac_x1000,
+                   (top_count * 5 <= n_tokens)
+                     AND (n_distinct * 10 >= n_tokens * 3) AS kept
+            FROM m
         """,
         "near_dup_clusters": """
             WITH RECURSIVE sh AS (
