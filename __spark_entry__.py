@@ -46,6 +46,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", 16, 8)
     out["minhash_lsh_candidate_pairs"] = minhash_lsh_candidate_pairs
 
+    def minhash_near_dups_verified_q(spark, sf):
+        """Candidate→verify composition (precision 1 by construction);
+        truth test in tests/test_dedup_similarity.py."""
+        from colymer_acquirers_spark.operators.dedup import (
+            minhash_near_dups_verified,
+        )
+
+        from pyspark.sql import functions as F
+
+        return minhash_near_dups_verified(
+            _docs(spark, sf), "doc_id", "text", threshold=0.5
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    out["minhash_near_dups_verified"] = minhash_near_dups_verified_q
+
     def simhash_near_dup_pairs(spark, sf):
         from colymer_acquirers_spark.operators.dedup import simhash_near_dups
 

@@ -336,3 +336,40 @@ def dedup_keep_representatives(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_near_dups_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The production MinHash dedup composition: banded-LSH CANDIDATES →
+    exact word-set Jaccard VERIFICATION ≥ ``threshold``.
+
+    LSH alone over-generates (any single band collision); verification
+    makes precision exactly 1 while touching only candidate pairs — two
+    equi-joins to reattach the texts, then per-row array math
+    (array_intersect / array_union on distinct word sets), no quadratic
+    work anywhere. Recall is the LSH recall: 1-(1-s^rows)^bands for true
+    similarity s. Returns (id_a, id_b, jaccard).
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands)
+    words = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),
+    )
+    wa = words.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
+    wb = words.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
+    j = (
+        F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
+        / F.size(F.array_union(F.col("__wa"), F.col("__wb")))
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

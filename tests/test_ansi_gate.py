@@ -40,6 +40,7 @@ def test_rows_only_inventory_is_explicit():
         "flagship_crawl_articles",
         "flagship_recrawl",
         "minhash_lsh_candidate_pairs",
+        "minhash_near_dups_verified",
         "multimodal_image_features",
         "simhash_near_dup_pairs",
         "streaming_dedup_articles",

@@ -260,6 +260,42 @@ def test_ivf_assignment_and_recall(vectors):
     assert 3 in part and len(set(part) & set(exact)) >= 3
 
 
+def test_minhash_verified_precision_one_and_recall(spark):
+    """Candidate→verify composition: every emitted pair truly clears the
+    word-Jaccard threshold (precision 1 by construction), and recall vs
+    the brute-force truth is high for genuinely similar docs."""
+    from colymer_acquirers_spark.operators.dedup import minhash_near_dups_verified
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = []
+    for i in range(30):
+        if i % 3 == 0:
+            docs.append((i, base + f" tail{i // 3}"))  # near-dup family
+        else:
+            docs.append((i, f"unique{i} words{i} only{i} here{i} now{i}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups_verified(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+
+    # brute-force truth in python
+    import itertools
+
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    exact = {
+        (a, b): len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        for a, b in itertools.combinations(range(30), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+    }
+    for pair, jac in got.items():
+        assert pair in exact and abs(jac - exact[pair]) < 1e-9, pair
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, (recall, len(exact), len(got))
+
+
 def test_near_dup_components_matches_union_find(spark):
     """Cluster step truth: min-label propagation ≡ union-find on a graph
     with a 4-chain (diameter test), a triangle, a 2-clique, and ids that
