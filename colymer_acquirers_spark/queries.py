@@ -1030,8 +1030,11 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
               GROUP BY doc_id, w),
             m AS (
-              SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
-                     MAX(c) AS top_count
+              -- CAST: DuckDB SUM(BIGINT) returns HUGEINT (decimal128 via
+              -- Arrow) while Spark's sum is bigint; the driver's value hash
+              -- is TYPE-sensitive (the r03 red row)
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_distinct, MAX(c) AS top_count
               FROM per_word GROUP BY doc_id)
             SELECT doc_id, n_tokens, n_distinct,
                    CAST(floor(n_distinct * 1000 / n_tokens) AS BIGINT)
