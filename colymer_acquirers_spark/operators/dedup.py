@@ -295,6 +295,7 @@ def near_dup_components(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["a"] == labels["id"])
@@ -319,7 +320,22 @@ def near_dup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exiting on the iteration budget means labels are still moving:
+        # the result would be silently OVER-SPLIT (multiple representatives
+        # per true cluster) — surface it instead of returning quietly
+        import warnings
+
+        warnings.warn(
+            f"near_dup_components hit max_iters={max_iters} before "
+            "convergence (graph diameter exceeds the budget); components "
+            "are over-split. Raise max_iters or use large-star/small-star "
+            "for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

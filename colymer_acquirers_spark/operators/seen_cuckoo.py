@@ -83,6 +83,14 @@ class CuckooSeen:
         n_buckets: int = 1 << 12,
         slots: int = _SLOTS,
     ):
+        if n_buckets <= 0 or n_buckets & (n_buckets - 1):
+            # the partner relation i2 = (i1 ^ spread) % n_buckets is an
+            # involution only for power-of-two geometries; anything else
+            # silently loses kicked fingerprints (false negatives that
+            # bypass the exact backstop)
+            raise ValueError(
+                f"n_buckets must be a power of two, got {n_buckets}"
+            )
         self.n_shards = n_shards
         self.n_buckets = n_buckets
         self.slots = slots

@@ -202,6 +202,8 @@ def kmeans_centroids(
         .limit(int(sample_n))
         .collect()
     )
+    if not rows:  # empty input: no cells to build (rng.randint(0) raises)
+        return []
     X = np.asarray([r["v"] for r in rows], dtype=float)
     k = min(n_centroids, len(X))
     rng = np.random.RandomState(seed)
@@ -300,6 +302,8 @@ def ann_cosine_topk_ivf(
         ]
     else:
         cents = [[float(x) for x in c] for c in centroids]
+    if not cents:  # empty vectors table → empty top-k, not a crash
+        return cosine_topk(df, query_vec, k, id_col, vec_col)
     assigned = ivf_assign(df, cents, vec_col=vec_col)
     q = np.asarray(query_vec, dtype=float)
     d2 = [float(((np.asarray(c) - q) ** 2).sum()) for c in cents]

@@ -239,6 +239,24 @@ def evict_seen(
         if "canonical_url" not in urls.columns
         else urls.select("canonical_url")
     ).filter(F.col("canonical_url").isNotNull()).dropDuplicates(["canonical_url"])
+    # Restrict the PREFILTER delete set before committing the new eviction
+    # table: a cuckoo delete of an entry not currently in the filter can
+    # strip a colliding fingerprint of a genuinely-seen url (the module's
+    # documented caveat), which would bypass the exact backstop and break
+    # the "prefilter never changes results" invariant. Semi-joining the
+    # incoming urls against the exact seen state (as READ at this instant —
+    # i.e. already minus prior evictions, including a prior write at this
+    # same stamp) keeps delete_urls to urls that are actually inserted,
+    # exactly once, no matter how often evict_seen is re-invoked.
+    delete_set = None
+    if clean_prefilter and done:
+        exact = read_seen(spark, workdir, as_of)
+        if exact is not None:
+            delete_set = canon.join(
+                exact.select("canonical_url").dropDuplicates(["canonical_url"]),
+                on="canonical_url",
+                how="left_semi",
+            ).localCheckpoint(eager=True)
     path = os.path.join(workdir, "evictions", str(as_of))
     if os.path.exists(os.path.join(path, "_TABLE_COMMIT")):
         canon = (
@@ -248,14 +266,14 @@ def evict_seen(
         )
     write_table(canon, path, mode="overwrite")
 
-    if clean_prefilter and done:
+    if delete_set is not None:
         bloom_path = os.path.join(_round_dir(workdir, done[-1]), "bloom")
         if os.path.exists(bloom_path):
             peek = spark.read.parquet(bloom_path)
-            if "table" in peek.columns:  # cuckoo: supports deletion
-                cs = CuckooSeen.from_table(peek)
+            cs = CuckooSeen.from_table(peek) if "table" in peek.columns else None
+            if cs is not None:  # cuckoo: supports deletion
                 updated = cs.delete_urls(
-                    spark.read.schema(cs.SCHEMA).parquet(bloom_path), canon
+                    spark.read.schema(cs.SCHEMA).parquet(bloom_path), delete_set
                 )
                 tmp = bloom_path + ".__evict"
                 updated.write.mode("overwrite").parquet(tmp)

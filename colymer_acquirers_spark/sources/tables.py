@@ -71,10 +71,47 @@ def table_partitioning(identifier: str) -> list[str]:
         return list(json.load(f).get("partition_by") or [])
 
 
+def _recover_swap(identifier: str) -> None:
+    """Complete an interrupted ``_replace_committed`` swap.
+
+    The swap has a crash window between ``os.rename(ident, old)`` and
+    ``os.rename(staging, ident)`` where no table exists at the identifier.
+    Without recovery, the next ``upsert_rows`` would take its "table
+    absent" fresh-write branch and silently orphan all prior rows under
+    ``<ident>.__old`` — a crash converted into data loss. Recovery policy,
+    keyed off which siblings carry a ``_TABLE_COMMIT`` marker:
+
+    - ident missing + staging committed → roll FORWARD (the new state was
+      fully written; finish the second rename);
+    - ident missing + only old committed → roll BACK to the prior state;
+    - ident committed + old left behind → drop the stale ``.__old``.
+
+    An ident-committed + staging-committed pair (crash before the first
+    rename) keeps ident as truth: the replace was never acknowledged, and
+    ``_replace_committed`` clears the stale staging on its next run.
+    """
+    ident = os.path.normpath(identifier)
+    staging, old = ident + ".__staging", ident + ".__old"
+
+    def _committed(p: str) -> bool:
+        return os.path.exists(os.path.join(p, "_TABLE_COMMIT"))
+
+    if not _committed(ident):
+        source = staging if _committed(staging) else old if _committed(old) else None
+        if source is not None:
+            if os.path.exists(ident):  # uncommitted debris
+                shutil.rmtree(ident)
+            os.rename(source, ident)
+    if _committed(ident):
+        if _committed(old):
+            shutil.rmtree(old)
+
+
 def read_table(spark: SparkSession, identifier: str, schema=None) -> DataFrame:
     """Read an Iceberg table or a committed parquet dir (refuses uncommitted)."""
     if _is_catalog_table(spark, identifier):
         return spark.read.table(identifier)
+    _recover_swap(identifier)
     marker = os.path.join(identifier, "_TABLE_COMMIT")
     if not os.path.exists(marker):
         raise FileNotFoundError(f"uncommitted or missing table: {identifier}")
@@ -101,6 +138,7 @@ def _replace_committed(df: DataFrame, identifier: str) -> None:
     (The Iceberg catalog path gets this from MERGE snapshot isolation.)
     """
     ident = os.path.normpath(identifier)
+    _recover_swap(ident)
     staging, old = ident + ".__staging", ident + ".__old"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
@@ -136,6 +174,16 @@ def upsert_rows(
     try:
         base = read_table(spark, identifier)
     except FileNotFoundError:
+        ident = os.path.normpath(identifier)
+        for sib in (ident + ".__staging", ident + ".__old"):
+            if os.path.exists(sib):
+                # _recover_swap could not restore a committed copy but prior
+                # data exists — refuse the fresh-write branch rather than
+                # silently orphaning it
+                raise RuntimeError(
+                    f"refusing fresh write over recovery sibling {sib}; "
+                    f"inspect/restore it before upserting into {identifier}"
+                )
         write_table(rows, identifier, mode="overwrite")
         return
     kept = base.join(rows.select(*key_cols), on=key_cols, how="left_anti")

@@ -127,3 +127,43 @@ def test_eviction_survives_compaction(spark, tmp_path):
     assert len(fetch_rounds) == 2, fetch_rounds
     assert [r["rank"] for r in rows] == list(range(len(rows)))
     pages.unpersist()
+
+
+def test_evict_never_fetched_and_double_evict_is_safe(spark, tmp_path):
+    """ADVICE r3 (high): the cuckoo delete set must be restricted to urls
+    actually in the exact seen state. Evicting never-fetched urls, or
+    re-invoking evict_seen at the same stamp (prior stamp's urls merged
+    back into the set), must not double-delete and strip a stranger's
+    colliding fingerprint — no url other than the target may ever be
+    fetched twice."""
+    import os
+
+    pages = synth_pages(spark, 300).persist()
+    seeds = synth_seeds(spark, 6)
+    pol = synth_politeness(spark)
+    wd = str(tmp_path / "wd")
+    kw = dict(use_bloom=True,
+              bloom_filter=CuckooSeen(n_shards=4, n_buckets=1 << 10))
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=3, **kw)
+    url = read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
+    target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+
+    evict_seen(spark, wd, target.select("url"))
+    # second call at the SAME stamp: target again (already deleted from the
+    # shards) plus urls that were never crawled at all
+    bogus = spark.createDataFrame(
+        [(url,), ("https://never.test/a",), ("https://never.test/b",)],
+        ["url"],
+    )
+    evict_seen(spark, wd, bogus)
+
+    run_crawl(spark, pages, seeds, pol, None, wd, max_rounds=6,
+              reseed=target, use_bloom=True)
+    rows = read_output(spark, wd, "crawl_order").orderBy("rank").collect()
+    from collections import Counter
+    counts = Counter(r["url"] for r in rows)
+    assert counts[url] == 2, counts[url]
+    dupes = {u: c for u, c in counts.items() if c > 1 and u != url}
+    assert not dupes, f"stranger urls fetched twice: {dupes}"
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    pages.unpersist()

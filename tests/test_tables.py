@@ -204,3 +204,60 @@ def test_is_catalog_table_probe(spark):
         assert T._is_catalog_table(spark, "ice.db.t")
     finally:
         spark.conf.unset("spark.sql.catalog.ice")
+
+
+def test_crash_between_swap_renames_rolls_forward(spark, tmp_path):
+    """ADVICE r3: a crash between os.rename(ident, old) and
+    os.rename(staging, ident) leaves no table at the identifier; the next
+    reader/upsert used to take the fresh-write branch and silently orphan
+    every prior row under .__old. Recovery must finish the swap."""
+    import os
+
+    path = str(tmp_path / "swapcrash")
+    write_table(spark.range(10).selectExpr("id", "id AS v"), path, "overwrite")
+    # simulate the mid-swap crash state: new data committed under staging,
+    # prior data renamed to .__old, nothing at the identifier
+    write_table(
+        spark.range(10).selectExpr("id", "id * 2 AS v"),
+        path + ".__staging", "overwrite",
+    )
+    os.rename(path, path + ".__old")
+
+    got = {r["id"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got == {i: 2 * i for i in range(10)}  # rolled FORWARD
+    assert not os.path.exists(path + ".__old")
+    assert not os.path.exists(path + ".__staging")
+
+
+def test_crash_before_staging_commit_rolls_back(spark, tmp_path):
+    """If the staged copy never committed, recovery restores the prior
+    committed state from .__old instead."""
+    import os
+
+    path = str(tmp_path / "swapback")
+    write_table(spark.range(5).selectExpr("id", "id AS v"), path, "overwrite")
+    os.rename(path, path + ".__old")
+    os.makedirs(path + ".__staging")  # uncommitted debris, no marker
+
+    got = {r["id"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got == {i: i for i in range(5)}  # rolled BACK
+
+
+def test_upsert_refuses_fresh_write_over_unrecoverable_sibling(
+    spark, tmp_path
+):
+    """When no committed copy can be recovered but sibling data exists,
+    upsert_rows must refuse the fresh-write branch rather than orphan it."""
+    import os
+
+    path = str(tmp_path / "orphan")
+    write_table(spark.range(5).selectExpr("id", "id AS v"), path, "overwrite")
+    os.rename(path, path + ".__old")
+    os.remove(os.path.join(path + ".__old", "_TABLE_COMMIT"))  # unrecoverable
+
+    from colymer_acquirers_spark.sources.tables import upsert_rows
+
+    with pytest.raises(RuntimeError, match="recovery sibling"):
+        upsert_rows(
+            spark, path, spark.createDataFrame([(1, 1)], ["id", "v"]), ["id"]
+        )
