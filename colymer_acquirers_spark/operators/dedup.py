@@ -68,11 +68,17 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    # band key stays in the md5 family (concat the band's sig values, then
+    # _md5_long) rather than xxhash64: the DuckDB oracle replicates the
+    # exact same computation, so engine and oracle agree bit-for-bit even
+    # in the (negligible) event of a key collision
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.xxhash64(
-                *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            _md5_long(
+                F.concat_ws(
+                    "|", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+                )
             ).alias("band_key"),
         )
         for b in range(bands)

@@ -817,6 +817,55 @@ def oracle_sql() -> dict[str, str]:
     _pack_sql = " + ".join(
         f"(CASE WHEN l{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
     )
+    # 64-bit simhash (operators/dedup.simhash64) mirror: same nibble decode,
+    # 64 lanes. Bit 63 packs as the min-long literal — DuckDB's BIGINT <<
+    # overflows at 63 while Spark's shiftleft wraps into the sign bit; the
+    # two's-complement value is the same. Summation order keeps partial
+    # sums ≤ 2^63-1 (lanes 0..62 first), so checked arithmetic never trips.
+    _lanes64_sql = ", ".join(
+        _lane.format(pos=1 + i // 4, sh=3 - i % 4, i=i) for i in range(64)
+    )
+    _pack64_sql = " + ".join(
+        [f"(CASE WHEN l{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)]
+        + ["(CASE WHEN l63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"]
+    )
+
+    # operators/dedup._md5_long mirror: first 15 md5 hex chars as a 60-bit
+    # BIGINT (DuckDB parses '0x…' casts; Spark uses conv(…,16,10))
+    def _md5l(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    _mh_sigs = ", ".join(
+        _md5l(f"w || '#{j}'").join(["MIN(", f") AS sig{j}"]) for j in range(16)
+    )
+
+    def _mh_banded(bands: int) -> str:
+        """Unpivot the 16 sigs into ``bands`` (band_idx, band_key) rows —
+        band_key is the same md5-family hash of the band's sig values the
+        engine computes (minhash_lsh_pairs), so collisions even agree."""
+        rows = 16 // bands
+        selects = []
+        for b in range(bands):
+            key = _md5l(
+                "concat_ws('|', "
+                + ", ".join(f"sig{b * rows + r}" for r in range(rows))
+                + ")"
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs"
+            )
+        return " UNION ALL ".join(selects)
+
+    _mh_prefix = f"""
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+            sigs AS (SELECT doc_id, {_mh_sigs} FROM words GROUP BY doc_id),
+    """
+    _jacc = (
+        "len(list_intersect(wa.ws, wb.ws))"
+        " / len(list_distinct(list_concat(wa.ws, wb.ws)))"
+    )
     return {
         "seen_anti_join": """
             SELECT c_custkey, c_name FROM customer c
@@ -1044,6 +1093,40 @@ def oracle_sql() -> dict[str, str]:
                    (top_count * 5 <= n_tokens)
                      AND (n_distinct * 10 >= n_tokens * 3) AS kept
             FROM m
+        """,
+        "minhash_lsh_candidate_pairs": f"""
+            {_mh_prefix}
+            banded AS ({_mh_banded(8)})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "minhash_near_dups_verified": f"""
+            {_mh_prefix}
+            banded AS ({_mh_banded(4)}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+                   FROM documents)
+            SELECT id_a, id_b, round({_jacc}, 6) AS jaccard_r
+            FROM cand JOIN ws wa ON wa.doc_id = id_a
+                      JOIN ws wb ON wb.doc_id = id_b
+            WHERE {_jacc} >= 0.5
+        """,
+        "simhash_near_dup_pairs": f"""
+            WITH words AS (
+              SELECT doc_id, md5(unnest(string_split(text, ' '))) AS d
+              FROM documents),
+            lanes AS (SELECT doc_id, {_lanes64_sql} FROM words GROUP BY doc_id),
+            h AS (SELECT doc_id, CAST({_pack64_sql} AS BIGINT) AS h FROM lanes)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 3
         """,
         "near_dup_clusters": """
             WITH RECURSIVE sh AS (

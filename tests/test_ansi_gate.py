@@ -32,6 +32,9 @@ def ansi_on(spark):
 
 def test_rows_only_inventory_is_explicit():
     # additions to the oracle-less set must be a conscious choice
+    # r04: the minhash LSH pair, verified-minhash, and simhash pair entries
+    # gained full DuckDB oracles (md5-family band keys / 64-lane mirror)
+    # and left this list
     assert ROWS_ONLY == [
         "ann_ivf_topk",
         "ann_lsh_topk",
@@ -39,10 +42,7 @@ def test_rows_only_inventory_is_explicit():
         "embedding_near_dup_lsh_pairs",
         "flagship_crawl_articles",
         "flagship_recrawl",
-        "minhash_lsh_candidate_pairs",
-        "minhash_near_dups_verified",
         "multimodal_image_features",
-        "simhash_near_dup_pairs",
         "streaming_dedup_articles",
         "streaming_host_sessions",
         "streaming_hourly_lang_counts",
