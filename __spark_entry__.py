@@ -205,12 +205,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from colymer_acquirers_spark.operators.multimodal import (
             extract_image_features,
             synth_media,
+            synth_media_bmp,
         )
 
         from pyspark.sql import functions as F
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        feats = extract_image_features(synth_media(spark, docs.count()))
+        n = docs.count()
+        # mixed table: real 24-bit BMP payloads (true pixel stats via the
+        # pure-numpy decoder) alongside opaque fake payloads (byte-stat
+        # fallback) — both paths of the decode='real' dispatch
+        media = synth_media_bmp(spark, n).withColumn(
+            "media_id", F.col("media_id") + 1_000_000
+        ).unionByName(synth_media(spark, n))
+        feats = extract_image_features(media, decode="real")
         # Driver-safe projection: the `feature` array<float> column breaks the
         # driver's pandas canonicalizer (unhashable list); hash it to a scalar
         # here. The array column itself stays covered by tests/test_multimodal*.

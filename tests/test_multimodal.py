@@ -42,9 +42,113 @@ def test_image_features_schema_and_values(media):
         assert r["width"] >= 16 and r["height"] >= 16
 
 
-def test_real_decode_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media, decode="real")
+def test_bmp_roundtrip_exact():
+    """encode_bmp → decode_bmp is the identity, including widths that
+    force row padding (w*3 % 4 != 0)."""
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(4, 4), (5, 3), (7, 2), (1, 1), (6, 9)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), (w, h)
+
+
+def test_bmp_decode_truth_hand_computed():
+    """Pure-Python truth: a 2x2 image with known pixels decodes to exactly
+    those pixels, and the feature math (mean, 16-bin histogram) matches
+    hand-computed values."""
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        _bmp_pixel_stats,
+        encode_bmp,
+    )
+
+    px = np.array(
+        [[[0, 16, 32], [255, 255, 255]], [[128, 128, 128], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    w, h, mean, hist = _bmp_pixel_stats(encode_bmp(px))
+    assert (w, h) == (2, 2)
+    assert mean == pytest.approx((0 + 16 + 32 + 255 * 3 + 128 * 3 + 0) / 12)
+    # bins of width 16: four 0s in bin0, 16 in bin1, 32 in bin2, 128s in
+    # bin8, 255s in bin15
+    expect = [0.0] * 16
+    expect[0] = 4 / 12
+    expect[1] = 1 / 12
+    expect[2] = 1 / 12
+    expect[8] = 3 / 12
+    expect[15] = 3 / 12
+    assert hist == pytest.approx(expect)
+
+
+def test_bmp_decode_32bit_and_topdown():
+    """The decoder also accepts 32-bit BGRA payloads and top-down row
+    order (negative biHeight) — both hand-packed here against the spec."""
+    import struct
+
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import decode_bmp
+
+    rgb = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)  # 1x2
+    # 32-bit top-down: BGRA rows in natural order, no padding needed
+    bgra = np.concatenate([rgb[:, :, ::-1], np.full((1, 2, 1), 255, np.uint8)], axis=2)
+    img = bgra.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, len(img), 0, 0, 0, 0)
+    assert (decode_bmp(header + info + img) == rgb).all()
+
+
+def test_real_decode_mixed_paths(spark, media):
+    """decode='real' over a mixed table: BMP rows report DECODED pixel
+    stats (verified against a pure-Python recomputation), non-BMP rows
+    fall back byte-for-byte to the fake path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        _bmp_pixel_stats,
+        synth_media_bmp,
+    )
+
+    bmp = synth_media_bmp(spark, 40).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    ).persist()
+    mixed = bmp.unionByName(media)
+    feats = {r["media_id"]: r for r in
+             extract_image_features(mixed, decode="real").collect()}
+
+    src = {r["media_id"]: bytes(r["payload"]) for r in bmp.collect()}
+    assert len(src) == 40
+    for mid, payload in src.items():
+        r = feats[mid]
+        w, h, mean, hist = _bmp_pixel_stats(payload)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_byte"] == pytest.approx(mean)
+        assert np.allclose(r["feature"], hist, atol=1e-6)
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+
+    # non-BMP rows: identical to the fake path
+    fake = {r["media_id"]: r for r in
+            extract_image_features(media, decode="fake").collect()}
+    for mid, fr in fake.items():
+        rr = feats[mid]
+        assert rr["mean_byte"] == fr["mean_byte"]
+        assert rr["feature"] == fr["feature"]
+        assert (rr["width"], rr["height"]) == (fr["width"], fr["height"])
+    bmp.unpersist()
+
+
+def test_decode_mode_validated(media):
+    with pytest.raises(ValueError, match="decode must be"):
+        extract_image_features(media, decode="bogus")
 
 
 def test_frame_sampling_shape(media):
