@@ -101,6 +101,7 @@ def embedding_near_dups_lsh(
     n_tables: int = 4,
     seed: int = 42,
     hamming_probes: int = 1,
+    max_probes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -114,15 +115,23 @@ def embedding_near_dups_lsh(
     1-(1-p_table)^T with p_table = P(≤probes bits differ). The exact
     JVM-side cosine verifies every candidate — precision is always 1.
 
+    hamming_probes ∈ {0, 1, 2} is the standard recall/cost knob: the probe
+    set per row is 1, 1+P, or 1+P+C(P,2) bucket keys (P = n_planes).
+    ``max_probes`` truncates that set deterministically (radius-ascending,
+    bit-index-lexicographic) when the radius-2 fan-out is too expensive —
+    recall degrades gracefully toward the radius-1 level.
+
     Plan shape: explode (tables × probes) → shuffle on (table, bucket) →
     equi-join → cosine filter. At 10^10 rows pick
     n_planes ≈ log2(n_rows / target_bucket_size); raising n_tables buys
-    recall linearly in cost, raising n_planes shrinks buckets.
+    recall linearly in cost, raising n_planes shrinks buckets; prefer more
+    tables over radius-2 probing when C(P,2) rows of explode outweigh a
+    second table's single row.
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    if hamming_probes > 1:
-        raise NotImplementedError("multi-probe radius > 1 not implemented")
+    if hamming_probes > 2:
+        raise NotImplementedError("multi-probe radius > 2 not implemented")
     v = F.col(vec_col).cast("array<double>")
 
     def bucket_expr(t: int):
@@ -145,10 +154,19 @@ def embedding_near_dups_lsh(
     keyed = df.select(
         F.col(id_col), v.alias("__v"), F.explode(tables).alias("tb")
     ).select(id_col, "__v", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
-    n_probe_bits = n_planes if hamming_probes else 0
+    masks = [0]
+    if hamming_probes >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if hamming_probes >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if max_probes is not None:
+        masks = masks[: max(1, int(max_probes))]
     probes = [F.col("__b")] + [
-        F.col("__b").bitwiseXOR(F.lit(1 << i).cast("long"))
-        for i in range(n_probe_bits)
+        F.col("__b").bitwiseXOR(F.lit(m).cast("long")) for m in masks[1:]
     ]
     a = keyed.select(
         id_col, "__v", "__t", F.explode(F.array(*probes)).alias("__probe")

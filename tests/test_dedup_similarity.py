@@ -206,6 +206,62 @@ def test_embedding_near_dups_lsh_equijoin_only_and_recall(vectors):
         assert recall >= 0.5, (recall, len(exact))
 
 
+def test_embedding_lsh_multiprobe_radius_curve(vectors):
+    """VERDICT r3 #6: radius-2 multi-probe. Recall must be monotone
+    nondecreasing in the probe radius (0 → 1 → 2) at fixed planes/tables,
+    radius 2 must beat radius 0 outright on this fixture, and precision
+    stays perfect at every radius. A max_probes cap must degrade toward
+    the radius-1 candidate set, never below it."""
+    from colymer_acquirers_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    vecs, df = vectors
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    exact = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.6
+    }
+    assert exact
+    recalls = {}
+    for radius in (0, 1, 2):
+        got = embedding_near_dups_lsh(
+            df, threshold=0.6, dim=16, n_planes=10, n_tables=1,
+            hamming_probes=radius,
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert pairs <= exact, f"radius {radius} emitted below-threshold"
+        recalls[radius] = len(pairs & exact) / len(exact)
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] > recalls[1] > recalls[0], recalls
+    # deterministic fixture: measured curve ≈ 0.05 → 0.22 → 0.49 (a single
+    # 10-plane table at cos 0.6 is recall-starved by design — the knob's
+    # cost/recall tradeoff is the thing under test, OR-amplified tables
+    # are the production recall lever)
+    assert recalls[2] >= 0.45, recalls
+
+    # capped radius-2 = exactly the radius-1 probe set (deterministic
+    # radius-ascending truncation at 1 + n_planes masks)
+    capped = embedding_near_dups_lsh(
+        df, threshold=0.6, dim=16, n_planes=10, n_tables=1,
+        hamming_probes=2, max_probes=11,
+    )
+    r1 = embedding_near_dups_lsh(
+        df, threshold=0.6, dim=16, n_planes=10, n_tables=1, hamming_probes=1,
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {
+        (r["id_a"], r["id_b"]) for r in r1.collect()
+    }
+
+    with pytest.raises(NotImplementedError):
+        embedding_near_dups_lsh(
+            df, threshold=0.6, dim=16, hamming_probes=3
+        )
+
+
 def test_ngram_jaccard_dfcap_underestimates_only(spark):
     """DF cap: capped jaccard <= exact jaccard per pair (never overestimates,
     so a >=threshold filter only loses recall); with a cap that bites on a
