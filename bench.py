@@ -96,10 +96,23 @@ def _crawl_bench(spark) -> tuple[float, int, float]:
         synth_seeds,
     )
 
+    from colymer_acquirers_spark.operators.politeness import budget_from_delay
+
     pages = synth_pages(spark, CRAWL_PAGES, words_mult=CRAWL_WORDS_MULT)
     seeds = synth_seeds(spark, CRAWL_SEEDS)
-    politeness = synth_politeness(spark).withColumn(
-        "max_fetch_per_round", F.lit(CRAWL_BUDGET)
+    # r04 protocol: budgets are DERIVED from heterogeneous crawl delays
+    # (budget_from_delay — the politeness window now exercises per-host
+    # budget skew at scale, VERDICT r3 #8) instead of one flat constant.
+    # Host delay multipliers {2, 1, 2/3} → budgets {B/2, B, 1.5B} with the
+    # same mean B = BENCH_CRAWL_BUDGET, so total scheduled work stays at
+    # the r03 level while the window ranks against non-uniform limits.
+    mult = F.element_at(
+        F.array(F.lit(2.0), F.lit(1.0), F.lit(2.0 / 3.0)),
+        F.pmod(F.xxhash64("host"), F.lit(3)).cast("int") + 1,
+    )
+    politeness = budget_from_delay(
+        synth_politeness(spark).withColumn("crawl_delay_s", mult),
+        round_seconds=float(CRAWL_BUDGET),
     )
     robots = synth_robots(spark)
     workdir = tempfile.mkdtemp(prefix="bench_crawl_")
@@ -169,6 +182,14 @@ def run_bench() -> dict:
         "crawl_wall_sec": round(crawl_wall, 3),
         "crawl_urls_per_sec": round(crawl_urls / crawl_wall, 1) if crawl_wall else 0,
         "crawl_cpu_sec": round(crawl_cpu, 1),
+        # cold-vs-cold trend line across rounds: the FIRST run is the only
+        # one free of warm-JVM/JIT/page-cache effects — compare this field
+        # round-over-round, never the best-of-N headline (VERDICT r3 #3/#4)
+        "crawl_first_run_urls_per_sec": (
+            round(crawl_runs[0][1] / crawl_runs[0][0], 1)
+            if crawl_runs[0][0]
+            else 0
+        ),
         "crawl_runs_urls_per_sec": [
             round(u / w, 1) if w else 0 for w, u, _ in crawl_runs
         ],
@@ -245,6 +266,9 @@ def regex_bandwidth_baseline(
     return out
 
 
+SCALE_SESSIONS = int(os.environ.get("BENCH_SCALE_SESSIONS", "3"))
+
+
 def run_scaling() -> None:
     """N vs 4N cores on the same crawl input (BASELINE.md protocol).
 
@@ -253,6 +277,11 @@ def run_scaling() -> None:
     both levels inside measured host capacity (a pure-CPU burn scales
     1→8 procs at 0.99 on this box; 32 threads degrade to 0.76).
     Best-of-SCALE_REPEAT per level damps the ±15-20%% run variance.
+
+    r04 (VERDICT r3 #3): the whole N/4N protocol runs SCALE_SESSIONS
+    times; the HEADLINE is the MEDIAN session's wall efficiency, with
+    best/worst alongside — one quiet (or noisy) hour on this shared box
+    no longer decides the number.
     """
     # scaling-specific workload: bigger rounds + realistic page sizes so the
     # core-scalable work (parse/join/dedup) dominates per-round fixed costs
@@ -268,32 +297,67 @@ def run_scaling() -> None:
     seeds = int(os.environ["BENCH_CRAWL_SEEDS"])
     budget = int(os.environ["BENCH_CRAWL_BUDGET"])
     rounds = int(os.environ["BENCH_CRAWL_ROUNDS"])
-    out: dict[int, dict] = {}
-    runs: dict[int, list] = {}
-    for cpus in (SCALE_N, SCALE_4N):
-        best = None
-        runs[cpus] = []
-        for _ in range(SCALE_REPEAT):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_AFFINITY="1")
-            r = subprocess.run(
-                [sys.executable, __file__, "--crawl-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-            )
-            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-            res = json.loads(line)
-            runs[cpus].append(res["crawl_urls_per_sec"])
-            if best is None or res["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
-                best = res
-            print(f"local[{cpus}]: {res}", file=sys.stderr)
-        out[cpus] = best
+    sessions: list[dict] = []
+    for s in range(max(1, SCALE_SESSIONS)):
+        out: dict[int, dict] = {}
+        runs: dict[int, list] = {}
+        for cpus in (SCALE_N, SCALE_4N):
+            best = None
+            runs[cpus] = []
+            for _ in range(SCALE_REPEAT):
+                env = dict(
+                    os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_AFFINITY="1"
+                )
+                r = subprocess.run(
+                    [sys.executable, __file__, "--crawl-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                )
+                line = [
+                    ln for ln in r.stdout.splitlines() if ln.startswith("{")
+                ][-1]
+                res = json.loads(line)
+                runs[cpus].append(res["crawl_urls_per_sec"])
+                if (
+                    best is None
+                    or res["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]
+                ):
+                    best = res
+                print(f"session {s} local[{cpus}]: {res}", file=sys.stderr)
+            out[cpus] = best
+        tn = out[SCALE_N]["crawl_urls_per_sec"]
+        t4n = out[SCALE_4N]["crawl_urls_per_sec"]
+        cpu_n = out[SCALE_N].get("crawl_cpu_us_per_url", 0)
+        cpu_4n = out[SCALE_4N].get("crawl_cpu_us_per_url", 0)
+        sessions.append(
+            {
+                "out": out,
+                "runs": runs,
+                "eff": (t4n / tn) / (SCALE_4N / SCALE_N) if tn else 0.0,
+                "cpu_eff": (cpu_n / cpu_4n) if cpu_4n else 0.0,
+            }
+        )
+        print(f"session {s}: eff={sessions[-1]['eff']:.3f}", file=sys.stderr)
+    by_eff = sorted(sessions, key=lambda x: x["eff"])
+    med = by_eff[len(by_eff) // 2]
+    if len(by_eff) % 2 == 0:
+        med_eff = (
+            by_eff[len(by_eff) // 2 - 1]["eff"] + by_eff[len(by_eff) // 2]["eff"]
+        ) / 2
+    else:
+        med_eff = med["eff"]
+    out, runs, eff, cpu_eff = med["out"], med["runs"], med["eff"], med["cpu_eff"]
     tn, t4n = out[SCALE_N]["crawl_urls_per_sec"], out[SCALE_4N]["crawl_urls_per_sec"]
-    eff = (t4n / tn) / (SCALE_4N / SCALE_N) if tn else 0.0
     cpu_n = out[SCALE_N].get("crawl_cpu_us_per_url", 0)
     cpu_4n = out[SCALE_4N].get("crawl_cpu_us_per_url", 0)
-    cpu_eff = (cpu_n / cpu_4n) if cpu_4n else 0.0
+    session_rows = "\n".join(
+        f"| {i} | {s['out'][SCALE_N]['crawl_urls_per_sec']} | "
+        f"{s['out'][SCALE_4N]['crawl_urls_per_sec']} | {s['eff']:.3f} | "
+        f"{s['cpu_eff']:.3f} |"
+        for i, s in enumerate(sessions)
+    )
     bw = regex_bandwidth_baseline()
     md = f"""# BENCH — scaling evidence (N vs 4N cores)
 
@@ -304,7 +368,21 @@ budget {budget}/host/round) at `local[{SCALE_N}]` and
 is CPU-AFFINITY-PINNED (`sched_setaffinity`) to exactly its core budget:
 without pinning, a local[N] JVM's GC/JIT/shuffle-IO threads overflow onto
 extra host cores and inflate the small-N baseline (measured +25% at N=2),
-understating true scaling. Best of {SCALE_REPEAT} runs per level.
+understating true scaling. Best of {SCALE_REPEAT} runs per level, and the
+whole protocol repeated for {len(sessions)} SESSIONS — the headline is the
+MEDIAN session's efficiency (r04 protocol; the box's granted capacity
+visibly fluctuates hour-to-hour, so a single session's number depends on
+box weather).
+
+## All sessions
+
+| session | URLs/s @local[{SCALE_N}] | URLs/s @local[{SCALE_4N}] | wall eff | CPU-work eff |
+|---|---|---|---|---|
+{session_rows}
+
+**Median wall efficiency across sessions = {med_eff:.3f}**
+(best {by_eff[-1]["eff"]:.3f}, worst {by_eff[0]["eff"]:.3f}).
+The detailed table below is the median session.
 Spark local dirs + crawl workdirs are on tmpfs (/dev/shm): /tmp here is
 the single shared virtual disk, whose queue penalizes high parallelism —
 a real cluster gives each executor node its own local disks, so disk-bound
@@ -321,8 +399,9 @@ degrade to 0.76 on pure CPU).
 | local[{SCALE_N}]  | {out[SCALE_N]["crawl_urls"]:,} | {out[SCALE_N]["crawl_wall_sec"]} | {tn} | {cpu_n} | {runs[SCALE_N]} |
 | local[{SCALE_4N}] | {out[SCALE_4N]["crawl_urls"]:,} | {out[SCALE_4N]["crawl_wall_sec"]} | {t4n} | {cpu_4n} | {runs[SCALE_4N]} |
 
-**Wall-clock scaling efficiency (throughput@{SCALE_4N} / throughput@{SCALE_N}) / 4 = {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json)
+**Median-session wall-clock scaling efficiency
+(throughput@{SCALE_4N} / throughput@{SCALE_N}) / 4 = {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json; headline = median of {len(sessions)} sessions)
 
 **CPU-work scaling efficiency (CPU-µs/URL at N ÷ CPU-µs/URL at 4N) = {cpu_eff:.3f}**
 — a value ≈ 1.0 means 4N-way execution spends no extra CPU per URL: the
@@ -355,7 +434,11 @@ the CPU-work witness isolates.
 Every crawl round extracts the full article envelope (author/time/
 attachments JVM regex over html) and writes six outputs including the
 attachments_new P7 state — throughput is not comparable to rounds that
-emitted the thin article schema.
+emitted the thin article schema. Since r04 the per-host budgets are
+DERIVED from heterogeneous crawl delays (`budget_from_delay`, delay
+multipliers {{2, 1, 2/3}} by host hash → budgets {{B/2, B, 1.5B}} around
+the same mean B), so the politeness window ranks against non-uniform
+limits; r03 and earlier used one flat budget B for every host.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
