@@ -341,7 +341,10 @@ def run_scaling() -> None:
         )
         print(f"session {s}: eff={sessions[-1]['eff']:.3f}", file=sys.stderr)
     by_eff = sorted(sessions, key=lambda x: x["eff"])
-    med = by_eff[len(by_eff) // 2]
+    # even session counts: med_eff is the statistical median (mean of the
+    # middle two) and the displayed session is the LOWER middle, so the
+    # detailed table never looks better than the headline number
+    med = by_eff[(len(by_eff) - 1) // 2]
     if len(by_eff) % 2 == 0:
         med_eff = (
             by_eff[len(by_eff) // 2 - 1]["eff"] + by_eff[len(by_eff) // 2]["eff"]
@@ -399,9 +402,10 @@ degrade to 0.76 on pure CPU).
 | local[{SCALE_N}]  | {out[SCALE_N]["crawl_urls"]:,} | {out[SCALE_N]["crawl_wall_sec"]} | {tn} | {cpu_n} | {runs[SCALE_N]} |
 | local[{SCALE_4N}] | {out[SCALE_4N]["crawl_urls"]:,} | {out[SCALE_4N]["crawl_wall_sec"]} | {t4n} | {cpu_4n} | {runs[SCALE_4N]} |
 
-**Median-session wall-clock scaling efficiency
-(throughput@{SCALE_4N} / throughput@{SCALE_N}) / 4 = {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json; headline = median of {len(sessions)} sessions)
+**Median wall-clock scaling efficiency
+(throughput@{SCALE_4N} / throughput@{SCALE_N}) / 4 = {med_eff:.3f}**
+(target ≥ 0.8 per BASELINE.json; headline = median of {len(sessions)}
+sessions; this section's table shows the median session, eff {eff:.3f})
 
 **CPU-work scaling efficiency (CPU-µs/URL at N ÷ CPU-µs/URL at 4N) = {cpu_eff:.3f}**
 — a value ≈ 1.0 means 4N-way execution spends no extra CPU per URL: the

@@ -253,20 +253,30 @@ def _bmp_pixel_stats(data: bytes) -> tuple[int, int, float, list[float]]:
 
 
 def _real_image_features(batch: pd.DataFrame) -> pd.DataFrame:
-    """decode='real': BMP payloads get true pixel statistics; anything
-    else (no codec libs in this container) falls through to the
-    deterministic byte-stat fake. width/height come from the DECODED
-    dimensions for real rows, from metadata for fake rows."""
-    is_bmp = batch["payload"].map(lambda p: bytes(p[:2]) == b"BM").to_numpy()
+    """decode='real': decodable BMP payloads get true pixel statistics;
+    anything else — non-BMP formats AND 'BM'-prefixed payloads the decoder
+    rejects (paletted/RLE/16-bit/truncated variants) — falls through to
+    the deterministic byte-stat fake, per the module contract. One bad row
+    must never fail the mapInPandas task. width/height come from the
+    DECODED dimensions for real rows, from metadata for fake rows."""
     out = _fake_image_features(batch)
-    if is_bmp.any():
-        stats = [_bmp_pixel_stats(p) for p in batch["payload"][is_bmp]]
-        idx = np.flatnonzero(is_bmp)
-        out.iloc[idx, out.columns.get_loc("width")] = [s[0] for s in stats]
-        out.iloc[idx, out.columns.get_loc("height")] = [s[1] for s in stats]
-        out.iloc[idx, out.columns.get_loc("mean_byte")] = [s[2] for s in stats]
+    stats: list[tuple[int, tuple[int, int, float, list[float]]]] = []
+    for i, p in enumerate(batch["payload"]):
+        if bytes(p[:2]) != b"BM":
+            continue
+        try:
+            stats.append((i, _bmp_pixel_stats(p)))
+        except ValueError:
+            continue  # undecodable variant → keep the fake-path row
+    if stats:
+        idx = np.asarray([i for i, _ in stats])
+        out.iloc[idx, out.columns.get_loc("width")] = [s[0] for _, s in stats]
+        out.iloc[idx, out.columns.get_loc("height")] = [s[1] for _, s in stats]
+        out.iloc[idx, out.columns.get_loc("mean_byte")] = [
+            s[2] for _, s in stats
+        ]
         feat_loc = out.columns.get_loc("feature")
-        for i, s in zip(idx, stats):
+        for i, s in stats:
             out.iat[i, feat_loc] = s[3]
     return out
 

