@@ -86,7 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        return ann_cosine_topk_lsh(e, qv, dim=len(qv), k=10, n_planes=8)
+        # id-only projection, like ann_cosine_topk: the DuckDB oracle
+        # re-ranks with its own float summation, so the hashed surface is
+        # the (deterministic) id ranking, not raw float sims
+        return ann_cosine_topk_lsh(
+            e, qv, dim=len(qv), k=10, n_planes=8
+        ).select("vec_id")
     out["ann_lsh_topk"] = ann_lsh_topk
 
     def ann_ivf_topk(spark, sf):

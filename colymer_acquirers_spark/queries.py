@@ -862,6 +862,38 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             sigs AS (SELECT doc_id, {_mh_sigs} FROM words GROUP BY doc_id),
     """
+
+    # operators/similarity._hyperplanes mirror: the LSH planes are a pure
+    # function of (dim, n_planes, seed) — bake them into the oracle as
+    # DOUBLE literals (repr round-trips bit-exactly). The testdata
+    # embeddings are 64-dim at every sf.
+    from colymer_acquirers_spark.operators.similarity import _hyperplanes
+
+    _planes8 = _hyperplanes(64, 8, 42)
+
+    def _plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    def _bucket_expr(col: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot.format(a=col, b=_plane_lit(planes[i]))} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(len(planes))
+        )
+
+    def _bucket_of(col: str) -> str:
+        return _bucket_expr(col, _planes8)
+
+    # embedding_near_dups_lsh mirror (entry: threshold=0.3, n_planes=6,
+    # n_tables=8, radius-1 probes): per-table buckets from seed 42+t; a
+    # pair is a candidate iff its bucket keys agree within hamming ≤ 1 in
+    # SOME table — identical to the engine's probe ⋈ bucket equi-join
+    _nd_tables_sql = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t,"
+        f" {_bucket_expr('embedding::DOUBLE[]', _hyperplanes(64, 6, 42 + t))}"
+        f" AS bk FROM embeddings"
+        for t in range(8)
+    )
     _jacc = (
         "len(list_intersect(wa.ws, wb.ws))"
         " / len(list_distinct(list_concat(wa.ws, wb.ws)))"
@@ -1283,6 +1315,40 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt({dot.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')})
                         * sqrt({dot.format(a='qe', b='qe')})) AS sim
               FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_near_dup_lsh_pairs": f"""
+            WITH b AS ({_nd_tables_sql}),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM b a JOIN b c
+                ON a.t = c.t AND a.vec_id < c.vec_id
+               AND (a.bk = c.bk OR xor(a.bk, c.bk) IN (1, 2, 4, 8, 16, 32))),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT id_a, id_b
+            FROM pairs JOIN e ea ON ea.vec_id = id_a
+                       JOIN e eb ON eb.vec_id = id_b
+            WHERE {dot.format(a='ea.v', b='eb.v')}
+                  / (sqrt({dot.format(a='ea.v', b='ea.v')})
+                     * sqrt({dot.format(a='eb.v', b='eb.v')})) >= 0.3
+        """,
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            qb AS (SELECT {_bucket_of('qe')} AS qk FROM q),
+            b AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+                         {_bucket_of('embedding::DOUBLE[]')} AS bk
+                  FROM embeddings),
+            cand AS (
+              SELECT vec_id, ve FROM b, qb
+              WHERE bk = qk
+                 OR xor(bk, qk) IN (1, 2, 4, 8, 16, 32, 64, 128)),
+            sims AS (
+              SELECT vec_id,
+                     {dot.format(a='ve', b='qe')}
+                     / (sqrt({dot.format(a='ve', b='ve')})
+                        * sqrt({dot.format(a='qe', b='qe')})) AS sim
+              FROM cand, q)
             SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
     }

@@ -35,11 +35,11 @@ def test_rows_only_inventory_is_explicit():
     # r04: the minhash LSH pair, verified-minhash, and simhash pair entries
     # gained full DuckDB oracles (md5-family band keys / 64-lane mirror)
     # and left this list
+    # r04 late: ann_lsh_topk and embedding_near_dup_lsh_pairs gained full
+    # oracles too (literal hyperplanes baked into the SQL)
     assert ROWS_ONLY == [
         "ann_ivf_topk",
-        "ann_lsh_topk",
         "crawl_attachments_pipeline",
-        "embedding_near_dup_lsh_pairs",
         "flagship_crawl_articles",
         "flagship_recrawl",
         "multimodal_image_features",
