@@ -1332,6 +1332,65 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt({dot.format(a='ea.v', b='ea.v')})
                      * sqrt({dot.format(a='eb.v', b='eb.v')})) >= 0.3
         """,
+        # streaming entries: exact batch equivalents of the append-mode
+        # streamed output. The pages view derivation (warc_ts = epoch
+        # 1704067200 + doc_id*240s, host = 'h'||doc_id%17||'.test') mirrors
+        # pages_from_documents; the final-watermark filter mirrors what
+        # append mode withholds (windows/sessions not yet closed when the
+        # availableNow run terminates).
+        "streaming_dedup_articles": """
+            SELECT 'https://h' || CAST(doc_id % 17 AS VARCHAR) || '.test/d/'
+                     || CAST(doc_id AS VARCHAR) AS canonical_url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                     || ' [0] [1]' AS content,
+                   lang,
+                   CAST(to_timestamp(1704067200 + doc_id * 240) AS TIMESTAMP)
+                     AS warc_ts
+            FROM documents
+        """,
+        "streaming_hourly_lang_counts": """
+            WITH pages AS (
+              SELECT CAST(to_timestamp(1704067200 + doc_id * 240) AS TIMESTAMP)
+                       AS warc_ts, lang
+              FROM documents),
+            agg AS (
+              SELECT date_trunc('hour', warc_ts) AS window_start,
+                     date_trunc('hour', warc_ts) + INTERVAL 1 HOUR AS window_end,
+                     lang, COUNT(*) AS n_pages
+              FROM pages GROUP BY 1, 2, 3),
+            wm AS (SELECT MAX(warc_ts) - INTERVAL 2 HOUR AS w FROM pages)
+            SELECT window_start, window_end, lang, n_pages
+            FROM agg, wm WHERE window_end <= w
+        """,
+        "streaming_host_sessions": """
+            WITH pages AS (
+              SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) || '.test' AS host,
+                     CAST(to_timestamp(1704067200 + doc_id * 240) AS TIMESTAMP)
+                       AS warc_ts
+              FROM documents),
+            x AS (
+              SELECT host, warc_ts,
+                     CASE WHEN LAG(warc_ts) OVER w IS NULL
+                            OR warc_ts - LAG(warc_ts) OVER w
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM pages WINDOW w AS (PARTITION BY host ORDER BY warc_ts)),
+            g AS (SELECT host, warc_ts,
+                         SUM(brk) OVER (PARTITION BY host ORDER BY warc_ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM x),
+            s AS (SELECT host, sid, MIN(warc_ts) AS session_start,
+                         MAX(warc_ts) AS session_end, COUNT(*) AS n_pages,
+                         MAX(MAX(warc_ts)) OVER (PARTITION BY host) AS host_last
+                  FROM g GROUP BY host, sid),
+            wm AS (SELECT MAX(warc_ts) - INTERVAL 30 MINUTE AS w FROM pages)
+            -- a session is emitted when CLOSED by a later same-host fetch,
+            -- or when its event-time timeout (end + gap) fires — the
+            -- timeout fires when the final watermark passes it STRICTLY
+            SELECT host, session_start, session_end, n_pages FROM s, wm
+            WHERE session_end < host_last
+               OR session_end + INTERVAL 30 MINUTE < w
+        """,
         "ann_lsh_topk": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0),

@@ -35,17 +35,15 @@ def test_rows_only_inventory_is_explicit():
     # r04: the minhash LSH pair, verified-minhash, and simhash pair entries
     # gained full DuckDB oracles (md5-family band keys / 64-lane mirror)
     # and left this list
-    # r04 late: ann_lsh_topk and embedding_near_dup_lsh_pairs gained full
-    # oracles too (literal hyperplanes baked into the SQL)
+    # r04 late: ann_lsh_topk, embedding_near_dup_lsh_pairs (literal
+    # hyperplanes), and the two windowed/stateful streaming entries
+    # (batch-equivalent SQL + final-watermark filter) gained full oracles
     assert ROWS_ONLY == [
         "ann_ivf_topk",
         "crawl_attachments_pipeline",
         "flagship_crawl_articles",
         "flagship_recrawl",
         "multimodal_image_features",
-        "streaming_dedup_articles",
-        "streaming_host_sessions",
-        "streaming_hourly_lang_counts",
     ], ROWS_ONLY
 
 
