@@ -129,7 +129,9 @@ def _crawl_bench(spark) -> tuple[float, int, float]:
 
 
 def run_bench() -> dict:
-    from colymer_acquirers_spark.queries import queries
+    # the driver-contract catalog (superset of colymer_acquirers_spark.
+    # queries — includes the composition entries registered there)
+    from __spark_entry__ import queries
     from colymer_acquirers_spark.session import get_spark
 
     _use_tmpfs_dirs()
@@ -162,6 +164,11 @@ def run_bench() -> dict:
         "ngram_jaccard_dfcap",
         "token_count_bpe",
         "repetition_signals",
+        # round-4 additions: the flagship dedup COMPOSITIONS (LSH
+        # candidates → exact-verify; pair edges → connected components) —
+        # these exercise the explicit-width expansion joins at sf scale
+        "minhash_near_dups_verified",
+        "near_dup_clusters",
     ]
     qmap = queries()
     for name in headline:

@@ -86,6 +86,16 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band_idx", "bk.band_key")
+    # Pin the self-join width EXPLICITLY: the banded table is tiny in
+    # BYTES (ids + two longs) even when the corpus is large, so AQE's
+    # byte-based coalescing collapses the pre-join shuffle to ~1
+    # partition — and the pair EXPANSION (quadratic in bucket size)
+    # then runs single-task. An explicit numPartitions repartition on
+    # the join keys is user-specified width AQE preserves; measured at
+    # sf0.1 this took the verified-minhash composition from 168 s to
+    # single-digit seconds.
+    n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    banded = banded.repartition(n_part, "band_idx", "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -379,6 +389,12 @@ def minhash_near_dups_verified(
     similarity s. Returns (id_a, id_b, jaccard).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands)
+    # candidate pairs are two longs per row — byte-cheap, row-heavy, and
+    # each row buys an array_intersect over full word sets downstream.
+    # Same AQE trap as the band join: pin the verify width explicitly so
+    # the per-pair array math runs wide.
+    n_part = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, "id_a")
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),
