@@ -283,6 +283,7 @@ def near_dup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pair edges → the CLUSTER
     step every training-data dedup pipeline runs after pair generation
@@ -296,12 +297,18 @@ def near_dup_components(
     rounds via the zero-changes check. Each round is one equi-join + one
     groupBy-min per direction (all shuffles on the id key); the label
     frame is localCheckpoint'ed per round to keep lineage flat. For
-    adversarial long-chain graphs at 10^10 edges, swap in large-star/
-    small-star (Kiveris et al.) — same join primitives, O(log n) rounds.
+    adversarial long-chain graphs at 10^10 edges, pass
+    ``method='star'`` — large-star/small-star (Kiveris et al.,
+    ``connected_components_star``), same join primitives, O(log n)
+    rounds regardless of diameter.
 
     Returns (id, component) for every id appearing in ``pairs``;
     component = min id of the cluster (deterministic representative).
     """
+    if method == "star":
+        return connected_components_star(pairs, id_a, id_b)
+    if method != "label":
+        raise ValueError(f"method must be 'label' or 'star', got {method!r}")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -353,6 +360,85 @@ def near_dup_components(
             stacklevel=2,
         )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round variant for ADVERSARIAL graphs whose
+    diameter defeats min-label propagation (long similarity chains).
+
+    Each round is two join+groupBy passes over the edge list:
+
+    - large-star: for every node u with symmetric neighborhood Γ(u) and
+      m = min(Γ(u) ∪ {u}), rewrite each edge to (v, m) for v ∈ Γ(u),
+      v > u — strictly-larger neighbors hook directly onto u's minimum;
+    - small-star: on the now downward-oriented edges, each node and its
+      smaller neighbors all hook onto the neighborhood minimum.
+
+    Converges when a round leaves the edge set unchanged (checked
+    EXACTLY with symmetric exceptAll counts — O(log n) rounds makes the
+    two extra jobs per round affordable); the converged state is a star
+    per component rooted at its minimum id. Same return contract as
+    ``near_dup_components``: (id, component=min id) for every id in
+    ``pairs``.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("n"))
+        .unionByName(pairs.select(F.col(id_b).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        if e.isEmpty():
+            break
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("mn")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        e_new = (
+            large.join(m2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(m2.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            e_new.exceptAll(e).count() + e.exceptAll(e_new).count()
+        )
+        e = e_new
+        if changed == 0:
+            break
+    roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return nodes.join(
+        roots, nodes["n"] == roots["id"], "left"
+    ).select(
+        F.col("n").alias("id"),
+        F.coalesce(F.col("component"), F.col("n")).alias("component"),
+    )
 
 
 def dedup_keep_representatives(

@@ -439,3 +439,78 @@ def test_ivf_explicit_empty_centroids_rejected(vectors):
         ann_cosine_topk_ivf(df, [0.0] * 16, centroids=[])
     empty = df.limit(0)
     assert ann_cosine_topk_ivf(empty, [0.0] * 16, centroids="kmeans").count() == 0
+
+
+def _py_components(pairs):
+    """Union-find truth: min-id label per node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_star_components_match_union_find_random(spark, seed):
+    """large-star/small-star vs a pure-python union-find on random
+    graphs (mixed cliques, chains, isolated pairs)."""
+    from colymer_acquirers_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = np.random.RandomState(seed)
+    pairs = set()
+    while len(pairs) < 70:
+        a, b = int(rng.randint(60)), int(rng.randint(60))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(df).collect()}
+    assert got == _py_components(pairs)
+
+
+def test_star_handles_long_chain_where_label_prop_budgets_out(spark):
+    """The adversarial case the label-prop docstring warns about: an
+    80-node chain (diameter 79). Label propagation exits on its 25-round
+    budget with a RuntimeWarning and over-split labels; the star variant
+    converges to the exact single component in O(log n) rounds."""
+    import warnings
+
+    from colymer_acquirers_spark.operators.dedup import (
+        connected_components_star,
+        near_dup_components,
+    )
+
+    # shuffle ids so min-label must travel the whole chain
+    rng = np.random.RandomState(9)
+    perm = rng.permutation(80).tolist()
+    chain = [(int(min(perm[i], perm[i + 1])), int(max(perm[i], perm[i + 1])))
+             for i in range(79)]
+    df = spark.createDataFrame(chain, ["id_a", "id_b"])
+
+    star = {r["id"]: r["component"]
+            for r in connected_components_star(df).collect()}
+    assert set(star.values()) == {0} and len(star) == 80
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        lp = near_dup_components(df, max_iters=10)
+        labels = {r["component"] for r in lp.collect()}
+    assert any("max_iters" in str(x.message) for x in w)
+    assert len(labels) > 1  # over-split, as the warning says
+
+    # and the dispatch: method='star' from the same entry point
+    via = {r["id"]: r["component"]
+           for r in near_dup_components(df, method="star").collect()}
+    assert via == star
