@@ -147,3 +147,46 @@ def test_delete_with_fp_only_stash_keeps_survivors_seen(spark):
         assert r["n_items"] >= 0
         assert (r["n_shards"], r["n_buckets"], r["slots"]) == (2, 16, 4)
     seen.unpersist(); doomed.unpersist(); shards.unpersist(); after.unpersist()
+
+
+def test_randomized_model_soundness(spark):
+    """Model-based check vs a python set: across a random interleaving of
+    insert-batches, shard merges, and deletes-of-inserted-urls (the
+    documented contract), every url the model holds must still probe
+    maybe_seen=True after every operation — the no-false-negative
+    invariant is unconditional, stash degradation and kicks included."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    cs = CuckooSeen(n_shards=2, n_buckets=32)  # 256 slots: forces kicks+stash
+    pool = [f"https://h{i % 7}.x/p/{i}" for i in range(600)]
+    model: set[str] = set()
+    shards = None
+    for _ in range(5):
+        picked = rng.choice(600, size=120, replace=False).tolist()
+        new = [pool[i] for i in picked if pool[i] not in model]
+        if new:
+            delta = cs.build_delta(
+                spark.createDataFrame([(u,) for u in new], ["canonical_url"])
+            )
+            shards = (
+                delta if shards is None
+                else cs.merge(shards.unionByName(delta))
+            ).persist()
+            model |= set(new)
+        doomed_n = len(model) // 5
+        doomed = [
+            u for u in sorted(model)
+            if rng.rand() < 0.25
+        ][:doomed_n]
+        if doomed:
+            shards = cs.delete_urls(
+                shards,
+                spark.createDataFrame([(u,) for u in doomed], ["canonical_url"]),
+            ).persist()
+            model -= set(doomed)
+        probe = spark.createDataFrame(
+            [(u,) for u in sorted(model)], ["canonical_url"]
+        )
+        n_neg = cs.probe(probe, shards).filter(~F.col("maybe_seen")).count()
+        assert n_neg == 0, f"{n_neg} false negatives with {len(model)} live urls"
