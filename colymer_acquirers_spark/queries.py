@@ -596,6 +596,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_dup_components(ngram_jaccard_pairs_sql(spark, sf))
     q["near_dup_clusters"] = near_dup_clusters
 
+    # same components, adversarial-graph algorithm (large-star/small-star,
+    # O(log n) rounds): identical output by construction, so it shares the
+    # recursive-CTE oracle shape — this puts the star variant under the
+    # driver's value-hash gate, not just pytest
+    def near_dup_clusters_star(spark, sf):
+        from colymer_acquirers_spark.operators.dedup import near_dup_components
+
+        return near_dup_components(
+            ngram_jaccard_pairs_sql(spark, sf), method="star"
+        )
+    q["near_dup_clusters_star"] = near_dup_clusters_star
+
     # dedup FILTER — keep one representative (min id) per near-dup cluster,
     # pass unpaired docs through untouched
     def near_dup_dedup_filter(spark, sf):
@@ -898,7 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "len(list_intersect(wa.ws, wb.ws))"
         " / len(list_distinct(list_concat(wa.ws, wb.ws)))"
     )
-    return {
+    out = {
         "seen_anti_join": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1411,6 +1423,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
     }
+    # the star-method entry produces identical components by construction,
+    # so it shares the recursive-CTE oracle verbatim
+    out["near_dup_clusters_star"] = out["near_dup_clusters"]
+    return out
 
 
 # ---------------------------------------------------------------------------

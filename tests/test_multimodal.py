@@ -233,3 +233,30 @@ def test_real_decode_never_fails_on_bad_bmp(spark):
     for i in range(len(payloads)):  # byte-stat fallback, metadata dims
         assert rows[i]["mean_byte"] == pytest.approx(fake["mean_byte"][i])
         assert (rows[i]["width"], rows[i]["height"]) == (9, 7)
+
+
+def test_bmp_roundtrip_property():
+    """Property: encode→decode is the identity for EVERY (w, h, content),
+    including the padded-row widths — hypothesis explores the space."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    @given(
+        w=st.integers(1, 37),
+        h=st.integers(1, 37),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)
+        ).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    check()
