@@ -32,6 +32,41 @@ from colymer_acquirers_spark.sources.tables import (
 )
 
 
+def _warm_parse_exprs(spark: SparkSession) -> None:
+    """Pre-trigger the frozen parse/envelope expression trees on a one-row
+    dummy: construction is ~10^3 py4j calls (~1 s serial driver time) and
+    the first materialization pays one-time analysis/codegen/regex-compile
+    (~3-4 s, measured) — both session-cached afterwards (lru_cache keys
+    match the round's ("html", "canonical_url") usage). run_crawl runs
+    this on a daemon thread so the cost overlaps round 0's early stages
+    instead of sitting on the critical path. Pure optimization: failures
+    are swallowed, nothing it computes is shared."""
+    try:
+        from colymer_acquirers_spark.functions.envelope_expr import (
+            envelope_expr,
+        )
+        from colymer_acquirers_spark.functions.parse_expr import (
+            parse_page_expr,
+        )
+
+        dummy = spark.range(1).select(
+            F.encode(
+                F.lit(
+                    '<html><head><title>w</title></head>'
+                    '<body><p>w</p><a href="/x">x</a></body></html>'
+                ),
+                "utf-8",
+            ).alias("html"),
+            F.lit("https://warm.invalid/").alias("canonical_url"),
+        )
+        dummy.select(
+            parse_page_expr("html", "canonical_url").alias("p"),
+            envelope_expr("html", "canonical_url").alias("e"),
+        ).collect()
+    except Exception:
+        pass
+
+
 def _recover_bloom_swap(path: str) -> None:
     """Finish an interrupted marker-less parquet-dir swap (the cuckoo/bloom
     shard dir under ``rounds/K/bloom``). ``_SUCCESS`` is the commit marker:
@@ -392,6 +427,13 @@ def run_crawl(
     """
     if use_bloom and bloom_filter is None:
         bloom_filter = BloomSeen()
+    # overlap the one-time parse/envelope tree construction + first-query
+    # codegen with round 0's early stages (see _warm_parse_exprs)
+    import threading
+
+    threading.Thread(
+        target=_warm_parse_exprs, args=(spark,), daemon=True
+    ).start()
     # pre-existing-state count enters the occupancy estimate exactly once
     n_seen_base = 0
 
