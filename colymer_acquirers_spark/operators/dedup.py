@@ -189,6 +189,11 @@ def simhash_near_dups(
     keyed = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("ck")
     ).select(id_col, "simhash", "ck.chunk_idx", "ck.chunk_key")
+    # same explicit-width rule as minhash_lsh_pairs: the keyed table is a
+    # few longs per row, so AQE would coalesce the pre-join shuffle while
+    # the chunk-bucket pair expansion is the real work
+    n_part = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = keyed.repartition(n_part, "chunk_idx", "chunk_key")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -252,6 +257,10 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
+    # explicit width for the shingle self-join (two longs per row —
+    # byte-small, pair-expansive; see minhash_lsh_pairs)
+    n_part = int(shingled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shingled = shingled.repartition(n_part, "sh")
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(
