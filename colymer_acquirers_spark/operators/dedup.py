@@ -19,6 +19,20 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
+def pin_shuffle_width(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition on the join keys with an EXPLICIT partition count.
+
+    The pair-generation tables here are byte-small (ids plus a couple of
+    longs) even when the corpus is large, so AQE's byte-based shuffle
+    coalescing collapses the pre-join exchange to ~1 partition — and the
+    quadratic pair EXPANSION plus per-pair verify math then run
+    single-task (measured: verified-minhash 168 s → 12-23 s at sf0.1
+    after pinning). An explicit numPartitions is user-specified width
+    that AQE preserves."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep the tuple-min row per key (deterministic keep-first)."""
     others = [c for c in df.columns if c not in key_cols]
@@ -86,16 +100,7 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band_idx", "bk.band_key")
-    # Pin the self-join width EXPLICITLY: the banded table is tiny in
-    # BYTES (ids + two longs) even when the corpus is large, so AQE's
-    # byte-based coalescing collapses the pre-join shuffle to ~1
-    # partition — and the pair EXPANSION (quadratic in bucket size)
-    # then runs single-task. An explicit numPartitions repartition on
-    # the join keys is user-specified width AQE preserves; measured at
-    # sf0.1 this took the verified-minhash composition from 168 s to
-    # single-digit seconds.
-    n_part = int(banded.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    banded = banded.repartition(n_part, "band_idx", "band_key")
+    banded = pin_shuffle_width(banded, "band_idx", "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -189,11 +194,7 @@ def simhash_near_dups(
     keyed = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("ck")
     ).select(id_col, "simhash", "ck.chunk_idx", "ck.chunk_key")
-    # same explicit-width rule as minhash_lsh_pairs: the keyed table is a
-    # few longs per row, so AQE would coalesce the pre-join shuffle while
-    # the chunk-bucket pair expansion is the real work
-    n_part = int(keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    keyed = keyed.repartition(n_part, "chunk_idx", "chunk_key")
+    keyed = pin_shuffle_width(keyed, "chunk_idx", "chunk_key")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -257,10 +258,7 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
-    # explicit width for the shingle self-join (two longs per row —
-    # byte-small, pair-expansive; see minhash_lsh_pairs)
-    n_part = int(shingled.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    shingled = shingled.repartition(n_part, "sh")
+    shingled = pin_shuffle_width(shingled, "sh")
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(
@@ -291,7 +289,7 @@ def near_dup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int | None = None,
     method: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pair edges → the CLUSTER
@@ -315,9 +313,15 @@ def near_dup_components(
     component = min id of the cluster (deterministic representative).
     """
     if method == "star":
-        return connected_components_star(pairs, id_a, id_b)
+        # None → the star variant's own (higher) default; an explicit
+        # caller budget is forwarded, never silently dropped
+        if max_iters is None:
+            return connected_components_star(pairs, id_a, id_b)
+        return connected_components_star(pairs, id_a, id_b, max_iters)
     if method != "label":
         raise ValueError(f"method must be 'label' or 'star', got {method!r}")
+    if max_iters is None:
+        max_iters = 25
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -409,8 +413,10 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         if e.isEmpty():
+            converged = True
             break
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -440,8 +446,25 @@ def connected_components_star(
         )
         e = e_new
         if changed == 0:
+            converged = True
             break
-    roots = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star hit max_iters={max_iters} before "
+            "the edge set stabilized; components may be incorrect. Raise "
+            "max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # groupBy-min instead of a plain projection: in the converged state
+    # each node carries exactly one star edge, but a budget-exhausted
+    # run could still hold several — one (id, component) row per id is
+    # the contract either way
+    roots = e.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("component")
+    )
     return nodes.join(
         roots, nodes["n"] == roots["id"], "left"
     ).select(
@@ -484,12 +507,9 @@ def minhash_near_dups_verified(
     similarity s. Returns (id_a, id_b, jaccard).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands)
-    # candidate pairs are two longs per row — byte-cheap, row-heavy, and
-    # each row buys an array_intersect over full word sets downstream.
-    # Same AQE trap as the band join: pin the verify width explicitly so
-    # the per-pair array math runs wide.
-    n_part = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cand = cand.repartition(n_part, "id_a")
+    # each candidate row buys an array_intersect over full word sets —
+    # keep the verify wide
+    cand = pin_shuffle_width(cand, "id_a")
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),

@@ -171,12 +171,11 @@ def embedding_near_dups_lsh(
     a = keyed.select(
         id_col, "__v", "__t", F.explode(F.array(*probes)).alias("__probe")
     )
-    # explicit join width: the keyed/probe tables are byte-small (AQE
-    # would coalesce them to ~1 partition) while the bucket-collision
-    # expansion and the per-candidate cosine (3 HOF dots × dim) are the
-    # real work — keep them wide
-    n_part = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = a.repartition(n_part, "__t", "__probe").alias("a")
+    # the keyed/probe tables are byte-small while the bucket-collision
+    # expansion + per-candidate cosine are the real work — keep them wide
+    from colymer_acquirers_spark.operators.dedup import pin_shuffle_width
+
+    a = pin_shuffle_width(a, "__t", "__probe").alias("a")
     # the right side joins on its OWN bucket only (probe ⋈ bucket covers
     # hamming-1 pairs once in each direction; id_a < id_b dedups)
     b = keyed.alias("b")

@@ -40,8 +40,15 @@ def _warm_parse_exprs(spark: SparkSession) -> None:
     match the round's ("html", "canonical_url") usage). run_crawl runs
     this on a daemon thread so the cost overlaps round 0's early stages
     instead of sitting on the critical path. Pure optimization: failures
-    are swallowed, nothing it computes is shared."""
+    are swallowed, nothing it computes is shared. A populated expr cache
+    means the cost is already paid this session — skip instead of
+    submitting a redundant job on every run_crawl call (test suites and
+    resume flows call it dozens of times)."""
     try:
+        from colymer_acquirers_spark.functions import parse_expr as _pe
+
+        if _pe._parse_page_expr_cached.cache_info().currsize > 0:
+            return
         from colymer_acquirers_spark.functions.envelope_expr import (
             envelope_expr,
         )

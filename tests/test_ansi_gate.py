@@ -36,8 +36,9 @@ def test_rows_only_inventory_is_explicit():
     # gained full DuckDB oracles (md5-family band keys / 64-lane mirror)
     # and left this list
     # r04 late: ann_lsh_topk, embedding_near_dup_lsh_pairs (literal
-    # hyperplanes), and the two windowed/stateful streaming entries
-    # (batch-equivalent SQL + final-watermark filter) gained full oracles
+    # hyperplanes), and ALL THREE streaming entries — dedup_articles,
+    # hourly_lang_counts, host_sessions — (batch-equivalent SQL +
+    # final-watermark filter) gained full oracles
     assert ROWS_ONLY == [
         "ann_ivf_topk",
         "crawl_attachments_pipeline",

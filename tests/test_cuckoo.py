@@ -169,10 +169,14 @@ def test_randomized_model_soundness(spark):
             delta = cs.build_delta(
                 spark.createDataFrame([(u,) for u in new], ["canonical_url"])
             )
+            prev = shards
             shards = (
-                delta if shards is None
-                else cs.merge(shards.unionByName(delta))
+                delta if prev is None
+                else cs.merge(prev.unionByName(delta))
             ).persist()
+            shards.count()
+            if prev is not None:
+                prev.unpersist()
             model |= set(new)
         doomed_n = len(model) // 5
         doomed = [
@@ -180,10 +184,13 @@ def test_randomized_model_soundness(spark):
             if rng.rand() < 0.25
         ][:doomed_n]
         if doomed:
+            prev = shards
             shards = cs.delete_urls(
-                shards,
+                prev,
                 spark.createDataFrame([(u,) for u in doomed], ["canonical_url"]),
             ).persist()
+            shards.count()
+            prev.unpersist()
             model -= set(doomed)
         probe = spark.createDataFrame(
             [(u,) for u in sorted(model)], ["canonical_url"]
