@@ -514,3 +514,29 @@ def test_star_handles_long_chain_where_label_prop_budgets_out(spark):
     via = {r["id"]: r["component"]
            for r in near_dup_components(df, method="star").collect()}
     assert via == star
+
+
+def test_pair_expansion_joins_keep_explicit_width(spark, docs, vectors):
+    """Regression for the AQE-collapse fix: each pair-expansion self-join
+    must carry a REPARTITION_BY_NUM exchange on its bucket keys — AQE's
+    byte-based coalescing must never be able to narrow the quadratic
+    expansion to one task (it did: 168 s verified-minhash at sf0.1)."""
+    from colymer_acquirers_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    _, vec_df = vectors
+    cases = [
+        (minhash_lsh_pairs(docs, "doc_id", "text", 8, 4), "band_idx"),
+        (simhash_near_dups(docs, "doc_id", "text", max_hamming=3), "chunk_idx"),
+        (embedding_near_dups_lsh(vec_df, threshold=0.6, dim=16, n_planes=6),
+         "__t"),
+    ]
+    for df, key in cases:
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pinned = [
+            ln for ln in plan.splitlines()
+            if "REPARTITION_BY_NUM" in ln and key in ln
+        ]
+        assert pinned, f"no REPARTITION_BY_NUM exchange on {key}:\n{plan[:1500]}"
