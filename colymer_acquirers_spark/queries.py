@@ -620,6 +620,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_keep_representatives(d, pairs, "doc_id")
     q["near_dup_dedup_filter"] = near_dup_dedup_filter
 
+    # corpus-selection ops (training-data pipeline): deterministic hash
+    # splits, per-language stratified quotas, benchmark decontamination —
+    # all md5-family so the oracle mirrors bit-for-bit
+    def dataset_split_counts(spark, sf):
+        from colymer_acquirers_spark.operators.sampling import (
+            hash_split_assign,
+        )
+
+        d = _t(spark, sf, "documents")
+        return (
+            hash_split_assign(
+                d, "doc_id", {"train": 98, "val": 1, "test": 1}
+            )
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    q["dataset_split_counts"] = dataset_split_counts
+
+    def stratified_sample_langs(spark, sf):
+        from colymer_acquirers_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+
+        d = _t(spark, sf, "documents")
+        return stratified_sample_exact(d, "lang", "doc_id", 40).select(
+            "doc_id", "lang"
+        )
+    q["stratified_sample_langs"] = stratified_sample_langs
+
+    def decontamination_flags(spark, sf):
+        from colymer_acquirers_spark.operators.sampling import decontaminate
+
+        d = _t(spark, sf, "documents")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        return decontaminate(d, bench, "doc_id", "text", n=8)
+    q["decontamination_flags"] = decontamination_flags
+
     # envelope normalization (P1-P5): printf-built raw JSON → schema-on-read
     # projection + type-classification ladder + epoch→timestamp conversion
     def json_envelope_normalize(spark, sf):
@@ -1343,6 +1380,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE {dot.format(a='ea.v', b='eb.v')}
                   / (sqrt({dot.format(a='ea.v', b='ea.v')})
                      * sqrt({dot.format(a='eb.v', b='eb.v')})) >= 0.3
+        """,
+        "dataset_split_counts": f"""
+            WITH b AS (
+              SELECT lang,
+                     {_md5l("CAST(doc_id AS VARCHAR) || '#split'")} % 100 AS bk
+              FROM documents)
+            SELECT CASE WHEN bk < 98 THEN 'train'
+                        WHEN bk < 99 THEN 'val' ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n
+            FROM b GROUP BY 1, 2
+        """,
+        "stratified_sample_langs": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY {_md5l("CAST(doc_id AS VARCHAR) || '#sample'")} ASC,
+                         doc_id ASC) AS rn
+              FROM documents) WHERE rn <= 40
+        """,
+        "decontamination_flags": """
+            WITH w8 AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            bsh AS (SELECT DISTINCT
+                           unnest(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(w[i:i+7], ' '))) AS sh
+                    FROM w8 WHERE doc_id % 97 = 0 AND len(w) >= 8),
+            dsh AS (SELECT DISTINCT doc_id,
+                           unnest(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(w[i:i+7], ' '))) AS sh
+                    FROM w8 WHERE len(w) >= 8),
+            hits AS (SELECT doc_id, COUNT(*) AS nc FROM dsh
+                     WHERE sh IN (SELECT sh FROM bsh) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(nc, 0) AS n_contaminated_shingles,
+                   COALESCE(nc, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
         """,
         # streaming entries: exact batch equivalents of the append-mode
         # streamed output. The pages view derivation (warc_ts = epoch
