@@ -169,6 +169,8 @@ def run_bench() -> dict:
         # these exercise the explicit-width expansion joins at sf scale
         "minhash_near_dups_verified",
         "near_dup_clusters",
+        # corpus-selection family (broadcast eval-shingle decontamination)
+        "decontamination_flags",
     ]
     qmap = queries()
     for name in headline:
