@@ -620,6 +620,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_keep_representatives(d, pairs, "doc_id")
     q["near_dup_dedup_filter"] = near_dup_dedup_filter
 
+    # IVF with FIXED literal centroids (seeded constants — no data
+    # dependence), so the whole IVF pipeline (assign → probe-3-cells →
+    # exact cosine) runs under the driver's oracle gate; the production
+    # kmeans-centroid variant stays rows-only (driver-side Lloyd)
+    def ann_ivf_topk_fixed(spark, sf):
+        import numpy as np
+
+        from colymer_acquirers_spark.operators.similarity import (
+            ann_cosine_topk_ivf,
+        )
+
+        e = _t(spark, sf, "embeddings")
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        cents = np.random.RandomState(7).randn(8, 64).tolist()
+        return ann_cosine_topk_ivf(
+            e, qv, k=10, n_probe=3, centroids=cents
+        ).select("vec_id")
+    q["ann_ivf_topk_fixed"] = ann_ivf_topk_fixed
+
     # corpus-selection ops (training-data pipeline): deterministic hash
     # splits, per-language stratified quotas, benchmark decontamination —
     # all md5-family so the oracle mirrors bit-for-bit
@@ -942,6 +964,34 @@ def oracle_sql() -> dict[str, str]:
         f" {_bucket_expr('embedding::DOUBLE[]', _hyperplanes(64, 6, 42 + t))}"
         f" AS bk FROM embeddings"
         for t in range(8)
+    )
+
+    # ann_ivf_topk_fixed mirror: same seeded literal centroids; squared-L2
+    # via the same list_zip fold; assignment = FIRST index achieving the
+    # minimum (Spark's strict-< argmin keeps the lower index on ties)
+    import numpy as _np
+
+    _ivf_cents = _np.random.RandomState(7).randn(8, 64)
+
+    def _d2(col: str, c) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+        return (
+            f"list_sum(list_apply(list_zip({col}, {lit}),"
+            " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+        )
+
+    _ivf_dcols = ", ".join(
+        f"{_d2('embedding::DOUBLE[]', _ivf_cents[i])} AS d{i}" for i in range(8)
+    )
+    _ivf_least = "LEAST(" + ", ".join(f"d{i}" for i in range(8)) + ")"
+    _ivf_case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(8))
+        + " END"
+    )
+    _ivf_qd = " UNION ALL ".join(
+        f"SELECT {i} AS i, {_d2('qe', _ivf_cents[i])} AS d FROM q"
+        for i in range(8)
     )
     _jacc = (
         "len(list_intersect(wa.ws, wb.ws))"
@@ -1380,6 +1430,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE {dot.format(a='ea.v', b='eb.v')}
                   / (sqrt({dot.format(a='ea.v', b='ea.v')})
                      * sqrt({dot.format(a='eb.v', b='eb.v')})) >= 0.3
+        """,
+        "ann_ivf_topk_fixed": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+                       WHERE vec_id = 0),
+            a AS (SELECT vec_id, embedding::DOUBLE[] AS ve, {_ivf_dcols}
+                  FROM embeddings),
+            asg AS (SELECT vec_id, ve, {_ivf_case} AS cl
+                    FROM (SELECT *, {_ivf_least} AS m FROM a)),
+            qd AS ({_ivf_qd}),
+            probe AS (SELECT i FROM qd ORDER BY d ASC, i ASC LIMIT 3),
+            cand AS (SELECT vec_id, ve FROM asg
+                     WHERE cl IN (SELECT i FROM probe)),
+            sims AS (
+              SELECT vec_id,
+                     {dot.format(a='ve', b='qe')}
+                     / (sqrt({dot.format(a='ve', b='ve')})
+                        * sqrt({dot.format(a='qe', b='qe')})) AS sim
+              FROM cand, q)
+            SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "dataset_split_counts": f"""
             WITH b AS (
