@@ -31,11 +31,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(_q.queries())
-    # rows-only (non-SQL-expressible) ops; their strong oracles live in
-    # tests/ (pyref equivalence, pure-Python truth comparisons)
+    # flagship crawl family — ALL SHARE one committed crawl workdir
+    # (queries.run_flagship_crawl: stable path + manifest-resume, so the
+    # second and later entries re-read instead of re-crawling). As of r5
+    # the crawl itself is ORACLED: unrolled-round DuckDB SQL mirrors the
+    # FROZEN SPEC over the deterministic derived pages view.
     out["flagship_crawl_articles"] = lambda spark, sf: _q.flagship_crawl(
         spark, sf, max_rounds=3
     )
+
+    def flagship_crawl_order(spark, sf):
+        """The north_rule invariant surface — (rank, url, round) for 3
+        rounds under the same seeds + per-host budget; DuckDB oracle
+        unrolls the rounds in SQL."""
+        from colymer_acquirers_spark.plans.crawl import read_output
+
+        wd = _q.run_flagship_crawl(spark, sf, max_rounds=3)
+        return read_output(spark, wd, "crawl_order").select(
+            "rank", "url", "round"
+        )
+    out["flagship_crawl_order"] = flagship_crawl_order
 
     def _docs(spark, sf):
         return spark.read.parquet(f"{sf}/documents.parquet")
@@ -101,7 +116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        return ann_cosine_topk_ivf(e, qv, k=10, n_centroids=8, n_probe=3)
+        # id-only projection (like the _fixed twin): the oracle re-ranks
+        # with its own float summation, so the hashed surface is the
+        # deterministic id ranking. The oracle SQL is GENERATED with the
+        # kmeans centroids recomputed bit-for-bit outside Spark
+        # (queries._ivf_kmeans_cents_oracle).
+        return ann_cosine_topk_ivf(
+            e, qv, k=10, n_centroids=8, n_probe=3
+        ).select("vec_id")
     out["ann_ivf_topk"] = ann_ivf_topk
 
     def streaming_dedup_articles(spark, sf):
@@ -124,27 +146,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rounds. The returned crawl_order contains that url TWICE — the
         value oracles (exactly-once re-fetch, determinism, compaction
         interplay) live in tests/test_evict_recrawl.py."""
-        import tempfile
+        import os
 
         from pyspark.sql import functions as F
 
         from colymer_acquirers_spark.plans.crawl import (
+            committed_rounds,
             evict_seen,
             read_output,
             run_crawl,
         )
 
-        pages = _q.pages_from_documents(spark, sf)
-        seeds = pages.orderBy("url").limit(5).select(
-            "url", F.lit(0).cast("int").alias("priority")
-        )
-        wd = tempfile.mkdtemp(prefix="recrawl_q_")
-        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
-        url = read_output(spark, wd, "crawl_order").orderBy("rank").first()["url"]
-        target = spark.createDataFrame([(url, 0)], ["url", "priority"])
-        evict_seen(spark, wd, target.select("url"))
-        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=4,
-                  reseed=target)
+        # stable cached workdir (same pattern as run_flagship_crawl): once
+        # all 4 rounds are committed, the crawl→evict→recrawl flow is pure
+        # re-read — the mutation steps run only on a fresh dir
+        wd = _q.flagship_workdir(sf, 4) + "_recrawl"
+        os.makedirs(wd, exist_ok=True)
+        if len(committed_rounds(wd)) < 4:
+            pages = _q.pages_from_documents(spark, sf)
+            seeds = pages.orderBy("url").limit(5).select(
+                "url", F.lit(0).cast("int").alias("priority")
+            )
+            run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
+            url = (
+                read_output(spark, wd, "crawl_order")
+                .orderBy("rank")
+                .first()["url"]
+            )
+            target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+            evict_seen(spark, wd, target.select("url"))
+            run_crawl(spark, pages, seeds, None, None, wd, max_rounds=4,
+                      reseed=target)
         return read_output(spark, wd, "crawl_order").orderBy("rank")
     out["flagship_recrawl"] = flagship_recrawl
 
@@ -183,55 +215,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def crawl_attachments_pipeline(spark, sf):
         """crawl → attachments_new (P7 once-per-id state) → simulated media
-        transfer → Arrow feature extraction, end-to-end (rows-only; the
-        per-stage oracles live in tests)."""
-        import tempfile
-
+        transfer → Arrow feature extraction, end-to-end. Reuses the shared
+        flagship crawl workdir (no second crawl) and keys the features back
+        to the attachment id so the whole pipeline is DuckDB-oracled: the
+        unrolled-crawl CTEs derive the fetched set, and the simulated
+        payload's byte statistics are closed-form in SQL."""
         from pyspark.sql import functions as F
 
         from colymer_acquirers_spark.operators.multimodal import (
             extract_image_features,
             media_from_attachments,
         )
-        from colymer_acquirers_spark.plans.crawl import read_output, run_crawl
+        from colymer_acquirers_spark.plans.crawl import read_output
 
-        pages = _q.pages_from_documents(spark, sf)
-        seeds = pages.orderBy("url").limit(5).select(
-            "url", F.lit(0).cast("int").alias("priority")
-        )
-        wd = tempfile.mkdtemp(prefix="att_pipeline_")
-        run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
+        wd = _q.run_flagship_crawl(spark, sf, max_rounds=3)
         atts = read_output(spark, wd, "attachments_new")
         feats = extract_image_features(media_from_attachments(atts))
-        return feats.select("media_id", "n_bytes", "sha256", "mean_byte")
+        return (
+            atts.withColumn("media_id", F.xxhash64(F.col("id")))
+            .join(feats, "media_id")
+            .select(
+                "id", "round", "original_url", "content_type", "filename",
+                "n_bytes", "sha256", "mean_byte",
+            )
+        )
     out["crawl_attachments_pipeline"] = crawl_attachments_pipeline
 
     def multimodal_image_features(spark, sf):
+        """Mixed media table — real 24-bit BMP payloads (true pixel stats
+        via the pure-numpy decoder) alongside opaque fake payloads
+        (byte-stat fallback) — through the decode='real' dispatch. Fixed
+        256-row halves (the entry verifies the pipeline, not scale) with a
+        VALUES-table oracle recomputed independently in pure Python; the
+        `feature` array column stays covered by tests/test_multimodal*."""
+        from pyspark.sql import functions as F
+
         from colymer_acquirers_spark.operators.multimodal import (
             extract_image_features,
             synth_media,
             synth_media_bmp,
         )
 
-        from pyspark.sql import functions as F
-
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        n = docs.count()
-        # mixed table: real 24-bit BMP payloads (true pixel stats via the
-        # pure-numpy decoder) alongside opaque fake payloads (byte-stat
-        # fallback) — both paths of the decode='real' dispatch
+        n = 256
         media = synth_media_bmp(spark, n).withColumn(
             "media_id", F.col("media_id") + 1_000_000
         ).unionByName(synth_media(spark, n))
         feats = extract_image_features(media, decode="real")
-        # Driver-safe projection: the `feature` array<float> column breaks the
-        # driver's pandas canonicalizer (unhashable list); hash it to a scalar
-        # here. The array column itself stays covered by tests/test_multimodal*.
-        return feats.withColumn(
-            "feature_md5", F.md5(F.to_json(F.col("feature")))
-        ).drop("feature")
+        return feats.select(
+            "media_id", "n_bytes", "sha256", "width", "height", "mean_byte"
+        )
     out["multimodal_image_features"] = multimodal_image_features
-    return out
+
+    # Catalog ORDER is the driver's evaluation order; r4's correctness file
+    # was truncated at the two expensive tail entries. The (now cheap)
+    # multimodal/attachments entries move up right behind the core catalog;
+    # the crawl-workdir-sharing flagship family stays contiguous after them.
+    front = [
+        "multimodal_image_features",
+        "flagship_crawl_order",
+        "flagship_crawl_articles",
+        "crawl_attachments_pipeline",
+        "flagship_recrawl",
+    ]
+    ordered = {k: out[k] for k in out if k not in front}
+    items = list(ordered.items())
+    base = len(_q.queries())  # insert after the core catalog entries
+    for i, k in enumerate(front):
+        items.insert(base + i, (k, out[k]))
+    return dict(items)
 
 
 def oracle_sql() -> dict[str, str]:

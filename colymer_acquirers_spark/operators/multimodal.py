@@ -244,10 +244,15 @@ def _bmp_pixel_stats(data: bytes) -> tuple[int, int, float, list[float]]:
     from one decoded BMP — the REAL feature math behind decode='real'."""
     px = decode_bmp(data)
     hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    # exact integer sum ÷ count, NOT px.mean(): pairwise float summation is
+    # element-ORDER-dependent, and the decoded array's order differs from
+    # any independent recomputation (BGR swap, bottom-up flip) — the exact
+    # form is bit-identical regardless of traversal order, which the DuckDB
+    # VALUES oracle relies on
     return (
         int(px.shape[1]),
         int(px.shape[0]),
-        float(px.mean()),
+        float(int(px.sum(dtype=np.int64)) / px.size),
         (hist / px.size).astype(float).tolist(),
     )
 

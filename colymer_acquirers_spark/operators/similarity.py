@@ -228,6 +228,19 @@ def kmeans_centroids(
     if not rows:  # empty input: no cells to build (rng.randint(0) raises)
         return []
     X = np.asarray([r["v"] for r in rows], dtype=float)
+    return kmeans_lloyd(X, n_centroids, seed=seed, n_iters=n_iters)
+
+
+def kmeans_lloyd(
+    X: np.ndarray, n_centroids: int, seed: int = 42, n_iters: int = 20
+) -> list[list[float]]:
+    """Driver-side numpy k-means++ + Lloyd over an already-sampled matrix.
+
+    Split out of :func:`kmeans_centroids` so the DuckDB oracle generator
+    (queries.oracle_sql) can recompute the SAME centroids bit-for-bit from
+    the same sample without a SparkSession — the ``ann_ivf_topk`` oracle
+    bakes them into the SQL as literals.
+    """
     k = min(n_centroids, len(X))
     rng = np.random.RandomState(seed)
     # k-means++ seeding

@@ -39,13 +39,12 @@ def test_rows_only_inventory_is_explicit():
     # hyperplanes), and ALL THREE streaming entries — dedup_articles,
     # hourly_lang_counts, host_sessions — (batch-equivalent SQL +
     # final-watermark filter) gained full oracles
-    assert ROWS_ONLY == [
-        "ann_ivf_topk",
-        "crawl_attachments_pipeline",
-        "flagship_crawl_articles",
-        "flagship_recrawl",
-        "multimodal_image_features",
-    ], ROWS_ONLY
+    # r05: the flagship crawl family (order + articles + attachments
+    # pipeline) gained unrolled-round DuckDB CTEs, multimodal a VALUES
+    # recomputation, ann_ivf_topk regenerated kmeans-literal SQL — only
+    # the evict→recrawl flow (filesystem state mutation mid-query) stays
+    # rows-only, with tests/test_evict_recrawl.py as its value oracle
+    assert ROWS_ONLY == ["flagship_recrawl"], ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
