@@ -172,12 +172,23 @@ def run_bench() -> dict:
         # corpus-selection family (broadcast eval-shingle decontamination)
         "decontamination_flags",
     ]
+    # r05 protocol (VERDICT r4 #4): per-query numbers are the MEDIAN of
+    # BENCH_QUERY_REPEAT executions — r04's single-run table drifted
+    # +10-45% on untouched code purely from box weather, making the
+    # round-over-round trend unreadable. All runs are kept alongside
+    # (queries_runs); the first run of each list is the cold/planning one.
+    qrepeat = max(1, int(os.environ.get("BENCH_QUERY_REPEAT", "3")))
     qmap = queries()
+    query_runs: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.monotonic()
-        df = qmap[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(qrepeat):
+            t0 = time.monotonic()
+            df = qmap[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = runs
+        results[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(results.values()), 3)
     return {
@@ -186,6 +197,8 @@ def run_bench() -> dict:
         "unit": "urls/sec",
         "suite_sec": total,
         "queries": results,
+        "queries_repeat": qrepeat,
+        "queries_runs": query_runs,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl_urls": crawl_urls,
         "crawl_wall_sec": round(crawl_wall, 3),
