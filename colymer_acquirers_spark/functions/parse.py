@@ -76,6 +76,13 @@ _STRIP_ALL_RE = "(?is)" + "|".join(
         r"<[^>]*>",
     ]
 )
+# r5 measured dead end, kept for the record (PLANS.md "fused strip+ws"):
+# fusing strip and ws-collapse into one `(?:construct|[ws])+` scan for
+# no-'&' pages is byte-equal but SLOWER in both Java and CPython regex
+# (alternation tried per position + match/append per ws run outweigh the
+# saved pass: 135 vs 107 µs/URL JVM interleaved A/B). "Smart" variants
+# that skip single spaces ([ws]{2,}|non-space-ws) are slower still. The
+# three-pass chain is the measured optimum for this engine.
 
 _HREF_RE = re.compile(
     r"""(?is)<a\b[^>]*?\bhref""" + _WS_CLASS + r"*=" + _WS_CLASS + r"""*(?:"([^"]*)"|'([^']*)')"""

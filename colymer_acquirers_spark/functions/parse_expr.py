@@ -40,7 +40,13 @@ def _as_str(html: Column) -> Column:
 
 
 def extract_text_expr(html: Column | str, is_binary: bool = True) -> Column:
-    """FROZEN TEXT RULE as a regexp_replace chain (no Python)."""
+    """FROZEN TEXT RULE as a regexp_replace chain (no Python).
+
+    r5 measured dead end (PLANS.md): fusing strip+ws-collapse into one
+    alternation scan for no-'&' pages is byte-equal but SLOWER (135 vs
+    107 µs/URL interleaved A/B) — Java regex per-position alternation
+    overhead and per-ws-run match/append machinery outweigh the saved
+    pass. The three-pass chain below is the measured optimum."""
     s = F.col(html) if isinstance(html, str) else html
     if is_binary:
         s = _as_str(s)
@@ -137,6 +143,63 @@ def join_href_expr(
     )
 
 
+def join_hrefs_array_expr(
+    hrefs: Column, scheme: Column, host: Column, base_dir: Column
+) -> Column:
+    """Absolutize an ARRAY of raw hrefs — staged mirror of
+    :func:`join_href_expr` (null elements pass through as null).
+
+    PERF NOTE (r5): higher-order-function lambdas get no common-
+    subexpression elimination — inside one lambda every reference to
+    ``t``/``nofrag``/``qsplit`` re-evaluates its whole subtree per
+    element. Staging each shared value once into a struct field across
+    chained transforms is byte-identical and markedly cheaper (the same
+    fix as the attachments build in envelope_expr)."""
+    strip_re = "^" + _WS_CLASS + "+|" + _WS_CLASS + "+$"
+    s1 = F.transform(
+        hrefs,
+        lambda h: F.struct(F.regexp_replace(h, strip_re, "").alias("t")),
+    )
+    s2 = F.transform(
+        s1,
+        lambda x: F.struct(
+            x["t"].alias("t"),
+            F.lower(x["t"]).alias("tl"),
+            F.element_at(F.split(x["t"], "#", 2), 1).alias("nofrag"),
+        ),
+    )
+    s3 = F.transform(
+        s2,
+        lambda x: F.struct(
+            x["t"].alias("t"),
+            x["tl"].alias("tl"),
+            x["nofrag"].alias("nofrag"),
+            F.split(x["nofrag"], "[?]", 2).alias("qsplit"),
+        ),
+    )
+
+    def final(x: Column) -> Column:
+        t, tl, nofrag, qsplit = x["t"], x["tl"], x["nofrag"], x["qsplit"]
+        path_part = F.element_at(qsplit, 1)
+        q_tail = F.when(
+            F.contains(nofrag, F.lit("?")),
+            F.concat(F.lit("?"), F.element_at(qsplit, 2)),
+        ).otherwise(F.lit(""))
+        joined = _normalize_path_expr(F.concat(base_dir, path_part))
+        rel = F.concat(scheme, F.lit("://"), host, joined, q_tail)
+        return (
+            F.when((t == "") | t.startswith("#"), F.lit(None).cast("string"))
+            .when(tl.startswith("http://") | tl.startswith("https://"), t)
+            .when(t.rlike(_SCHEME_RLIKE), F.lit(None).cast("string"))
+            .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
+            .when(t.startswith("/"), F.concat(scheme, F.lit("://"), host, t))
+            .when(nofrag == "", F.lit(None).cast("string"))
+            .otherwise(rel)
+        )
+
+    return F.transform(s3, final)
+
+
 def extract_links_expr(
     html: Column | str, base_url: Column | str, is_binary: bool = True
 ) -> Column:
@@ -152,7 +215,7 @@ def extract_links_expr(
     hrefs = F.transform(quoted, lambda q: F.substring(q, 2, F.length(q) - 2))
 
     links = F.filter(
-        F.transform(hrefs, lambda h: join_href_expr(h, scheme, host, base_dir)),
+        join_hrefs_array_expr(hrefs, scheme, host, base_dir),
         lambda x: x.isNotNull(),
     )
     # no base match (scheme empty) → empty list, as in extract_links_one

@@ -206,3 +206,32 @@ def test_fuzz_parity_canonicalize(spark):
         eh = exp_host[i] if pd.notna(exp_host[i]) else None
         assert r["c"] == e, (i, urls[i], r["c"], e)
         assert r["h"] == eh, (i, urls[i])
+
+
+def test_fuzz_text_rule_truth():
+    """extract_text_series must equal the LITERAL frozen three-pass rule
+    (strip -> entity decode -> ws collapse -> trim) spelled out here
+    independently — parity between the pandas and JVM implementations
+    alone cannot catch an optimization bug they share (guard for any
+    future fast-path rewrite of the text chain)."""
+    import re
+
+    from colymer_acquirers_spark.functions.parse import (
+        _STRIP_ALL_RE,
+        _WS_RE,
+        extract_text_series,
+    )
+
+    def three_pass(doc: str) -> str:
+        t = re.sub(_STRIP_ALL_RE, " ", doc)
+        for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                         ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            t = t.replace(ent, rep)
+        return re.sub(_WS_RE, " ", t).strip(" ")
+
+    docs = _gen_corpus(seed=20260817, n=400)
+    # force plenty of no-'&' docs (the fused path) alongside entity docs
+    docs += [d.replace("&", "+") for d in docs]
+    got = extract_text_series(pd.Series(docs)).tolist()
+    want = [three_pass(d) for d in docs]
+    assert got == want
