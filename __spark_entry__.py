@@ -242,24 +242,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_attachments_pipeline"] = crawl_attachments_pipeline
 
     def multimodal_image_features(spark, sf):
-        """Mixed media table — real 24-bit BMP payloads (true pixel stats
-        via the pure-numpy decoder) alongside opaque fake payloads
-        (byte-stat fallback) — through the decode='real' dispatch. Fixed
-        256-row halves (the entry verifies the pipeline, not scale) with a
-        VALUES-table oracle recomputed independently in pure Python; the
-        `feature` array column stays covered by tests/test_multimodal*."""
+        """Mixed media table — real 24-bit BMP payloads AND real 8-bit RGB
+        PNG payloads (true pixel stats via the pure-numpy/zlib decoders;
+        the PNG fixture cycles row filters 0-4) alongside opaque fake
+        payloads (byte-stat fallback) — through the decode='real'
+        dispatch. Fixed 256-row thirds (the entry verifies the pipeline,
+        not scale) with a VALUES-table oracle recomputed independently in
+        pure Python; the `feature` array column stays covered by
+        tests/test_multimodal*."""
         from pyspark.sql import functions as F
 
         from colymer_acquirers_spark.operators.multimodal import (
             extract_image_features,
             synth_media,
             synth_media_bmp,
+            synth_media_png,
         )
 
         n = 256
-        media = synth_media_bmp(spark, n).withColumn(
-            "media_id", F.col("media_id") + 1_000_000
-        ).unionByName(synth_media(spark, n))
+        media = (
+            synth_media_bmp(spark, n)
+            .withColumn("media_id", F.col("media_id") + 1_000_000)
+            .unionByName(
+                synth_media_png(spark, n).withColumn(
+                    "media_id", F.col("media_id") + 2_000_000
+                )
+            )
+            .unionByName(synth_media(spark, n))
+        )
         feats = extract_image_features(media, decode="real")
         return feats.select(
             "media_id", "n_bytes", "sha256", "width", "height", "mean_byte"

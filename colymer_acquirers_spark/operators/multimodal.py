@@ -140,6 +140,50 @@ def synth_media_bmp(
     return spark.range(n).repartition(8, "id").mapInPandas(gen, MEDIA)
 
 
+def synth_media_png(
+    spark: SparkSession, n: int, max_side: int = 24
+) -> DataFrame:
+    """Media table whose image payloads are REAL, valid 8-bit RGB PNGs.
+
+    Same deterministic md5-counter pixel derivation as
+    :func:`synth_media_bmp`; the row filter type cycles with the media id
+    (``mid % 5``) so every unfilter path of :func:`decode_png` is
+    exercised by the fixture itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for mid in b["id"]:
+                mid = int(mid)
+                w = 4 + mid % max_side
+                h = 4 + (mid // 7) % max_side
+                need = w * h * 3
+                chunks = [
+                    hashlib.md5(f"png{mid}#{k}".encode()).digest()
+                    for k in range((need + 15) // 16)
+                ]
+                px = np.frombuffer(b"".join(chunks), dtype=np.uint8)[
+                    :need
+                ].reshape(h, w, 3)
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": encode_png(px, filters=mid % 5),
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                            "sample_rate": None,
+                            "format": "png",
+                        },
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return spark.range(n).repartition(8, "id").mapInPandas(gen, MEDIA)
+
+
 def media_from_attachments(attachments_new: DataFrame) -> DataFrame:
     """Bridge the crawl's attachment descriptors (``attachments_new`` round
     output — id/original_url/content_type/filename) into the media table the
@@ -257,20 +301,207 @@ def _bmp_pixel_stats(data: bytes) -> tuple[int, int, float, list[float]]:
     )
 
 
+# ---- real codec #2: PNG, stdlib zlib inflate + numpy row unfiltering ----
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(
+    pixels: np.ndarray, filters: list[int] | int | None = None
+) -> bytes:
+    """Minimal 8-bit truecolor (RGB) PNG writer.
+
+    ``pixels`` is (h, w, 3) uint8 RGB. ``filters`` picks the per-row
+    filter type (0-4; int for all rows, list for per-row; default 0) so
+    the truth tests can exercise every unfilter path of
+    :func:`decode_png`. Deterministic byte-for-byte (zlib level fixed)."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, nch = px.shape
+    if nch != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {px.shape}")
+    if filters is None:
+        filters = [0] * h
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = px[y]
+        ft = filters[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        elif ft == 2:  # Up
+            filt = (row.astype(np.int16) - prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            filt = (row.astype(np.int16) - avg).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            left = np.vstack([np.zeros((1, 3), np.uint8), row[:-1]])
+            ul = np.vstack([np.zeros((1, 3), np.uint8), prev[:-1]])
+            filt = (row.astype(np.int16) - _paeth(left, prev, ul)).astype(
+                np.uint8
+            )
+        else:
+            raise ValueError(f"bad filter {ft}")
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (a=left, b=up, c=upper-left), int16 in."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG (color type 2 RGB or 6 RGBA, alpha
+    dropped; no interlace, no palette) → (h, w, 3) uint8 RGB.
+
+    stdlib ``zlib`` inflates the IDAT stream; row unfiltering is numpy —
+    None/Up are whole-row vector ops, Sub is a per-channel cumulative sum
+    mod 256, Average/Paeth walk pixels within the row (bounded by width)
+    but stay vectorized across channels. Any unsupported variant raises
+    ValueError and the dispatch falls back to the byte-stat fake."""
+    import zlib
+
+    data = bytes(data)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})"
+        )
+    nch = 3 if color_type == 2 else 4
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * nch
+    if raw.size != stride * h:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = raw.reshape(h, stride)
+    fts = rows[:, 0]
+    out = np.empty((h, w, nch), dtype=np.uint8)
+    prev = np.zeros((w, nch), dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].reshape(w, nch)
+        ft = fts[y]
+        if ft == 0:
+            rec = cur.copy()
+        elif ft == 1:  # Sub: cumulative sum along x, mod 256
+            rec = np.cumsum(cur.astype(np.int64), axis=0).astype(np.uint8)
+        elif ft == 2:  # Up
+            rec = cur + prev  # uint8 wraparound is the spec's mod 256
+        elif ft == 3:  # Average
+            rec = np.empty_like(cur)
+            left = np.zeros(nch, dtype=np.int16)
+            pr = prev.astype(np.int16)
+            for x in range(w):
+                left = (
+                    cur[x].astype(np.int16) + ((left + pr[x]) >> 1)
+                ) & 0xFF
+                rec[x] = left.astype(np.uint8)
+        elif ft == 4:  # Paeth
+            rec = np.empty_like(cur)
+            left = np.zeros(nch, dtype=np.int16)
+            ul = np.zeros(nch, dtype=np.int16)
+            pr = prev.astype(np.int16)
+            for x in range(w):
+                pred = _paeth(
+                    left.reshape(1, -1),
+                    pr[x].reshape(1, -1),
+                    ul.reshape(1, -1),
+                )[0]
+                left = (cur[x].astype(np.int16) + pred) & 0xFF
+                rec[x] = left.astype(np.uint8)
+                ul = pr[x]
+        else:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out[y] = rec
+        prev = rec
+    return out[:, :, :3].copy() if nch == 4 else out
+
+
+def _png_pixel_stats(data: bytes) -> tuple[int, int, float, list[float]]:
+    """(width, height, mean pixel, 16-bin normalized intensity histogram)
+    from one decoded PNG — same feature math as the BMP path."""
+    px = decode_png(data)
+    hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    return (
+        int(px.shape[1]),
+        int(px.shape[0]),
+        float(int(px.sum(dtype=np.int64)) / px.size),
+        (hist / px.size).astype(float).tolist(),
+    )
+
+
 def _real_image_features(batch: pd.DataFrame) -> pd.DataFrame:
-    """decode='real': decodable BMP payloads get true pixel statistics;
-    anything else — non-BMP formats AND 'BM'-prefixed payloads the decoder
-    rejects (paletted/RLE/16-bit/truncated variants) — falls through to
-    the deterministic byte-stat fake, per the module contract. One bad row
-    must never fail the mapInPandas task. width/height come from the
-    DECODED dimensions for real rows, from metadata for fake rows."""
+    """decode='real': decodable BMP and PNG payloads get true pixel
+    statistics; anything else — other formats AND signature-prefixed
+    payloads the decoders reject (paletted/RLE/16-bit BMP, interlaced/
+    paletted PNG, truncated data) — falls through to the deterministic
+    byte-stat fake, per the module contract. One bad row must never fail
+    the mapInPandas task. width/height come from the DECODED dimensions
+    for real rows, from metadata for fake rows."""
     out = _fake_image_features(batch)
     stats: list[tuple[int, tuple[int, int, float, list[float]]]] = []
     for i, p in enumerate(batch["payload"]):
-        if bytes(p[:2]) != b"BM":
-            continue
+        head = bytes(p[:8])
         try:
-            stats.append((i, _bmp_pixel_stats(p)))
+            if head[:2] == b"BM":
+                stats.append((i, _bmp_pixel_stats(p)))
+            elif head == _PNG_SIG:
+                stats.append((i, _png_pixel_stats(p)))
         except ValueError:
             continue  # undecodable variant → keep the fake-path row
     if stats:

@@ -66,31 +66,39 @@ def _multimodal_values_sql() -> str:
     import numpy as np
 
     from colymer_acquirers_spark.functions.xxh64 import Int32, pmod, xxhash64
-    from colymer_acquirers_spark.operators.multimodal import encode_bmp
+    from colymer_acquirers_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
 
     n = 256
     rows = []
-    # BMP half (media_id offset +1_000_000): true decoded pixel statistics
-    for mid in range(n):
-        w = 4 + mid % 24
-        h = 4 + (mid // 7) % 24
-        need = w * h * 3
-        buf = b"".join(
-            hashlib.md5(f"{mid}#{k}".encode()).digest()
-            for k in range((need + 15) // 16)
-        )
-        px = np.frombuffer(buf, dtype=np.uint8)[:need].reshape(h, w, 3)
-        payload = encode_bmp(px)
-        rows.append(
-            (
-                mid + 1_000_000,
-                len(payload),
-                hashlib.sha256(payload).hexdigest(),
-                w,
-                h,
-                float(int(px.sum(dtype=np.int64)) / px.size),
+    # real-codec thirds: BMP (+1_000_000) and PNG (+2_000_000, row filter
+    # cycling mid % 5) — true decoded pixel statistics for both
+    for offset, prefix, enc in (
+        (1_000_000, "", lambda px, mid: encode_bmp(px)),
+        (2_000_000, "png", lambda px, mid: encode_png(px, filters=mid % 5)),
+    ):
+        for mid in range(n):
+            w = 4 + mid % 24
+            h = 4 + (mid // 7) % 24
+            need = w * h * 3
+            buf = b"".join(
+                hashlib.md5(f"{prefix}{mid}#{k}".encode()).digest()
+                for k in range((need + 15) // 16)
             )
-        )
+            px = np.frombuffer(buf, dtype=np.uint8)[:need].reshape(h, w, 3)
+            payload = enc(px, mid)
+            rows.append(
+                (
+                    mid + offset,
+                    len(payload),
+                    hashlib.sha256(payload).hexdigest(),
+                    w,
+                    h,
+                    float(int(px.sum(dtype=np.int64)) / px.size),
+                )
+            )
     # fake half: synth_media keeps kind='image' rows only
     # (pmod(xxhash64(id, 1), 3) == 0); byte statistics of the md5-counter
     # payload, width/height from the xxhash64-derived metadata

@@ -260,3 +260,135 @@ def test_bmp_roundtrip_property():
         assert (decode_bmp(encode_bmp(px)) == px).all()
 
     check()
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png is the identity for every row-filter type
+    (0-4) and mixed per-row filters, across shapes."""
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (4, 4), (5, 3), (7, 2), (6, 9), (31, 17)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(px, filters=ft)) == px).all()
+        fl = [int(rng.randint(0, 5)) for _ in range(h)]
+        assert (decode_png(encode_png(px, filters=fl)) == px).all()
+
+
+def _png_pack(w, h, color_type, raw_rows: bytes) -> bytes:
+    """Test-side independent PNG packer: signature + IHDR + IDAT + IEND
+    built from the spec, NOT from the module's encoder."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw_rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_truth_hand_filtered():
+    """Spec truth, independent of encode_png: filtered bytes are computed
+    BY HAND for a 2x2 RGB image using Sub then Paeth rows; a shared
+    encoder/decoder bug cannot satisfy this."""
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import decode_png
+
+    # target pixels: row0 = (10,20,30), (13,24,35); row1 = (9,19,31), (12,24,36)
+    # row0 filter 1 (Sub): f = raw - left -> (10,20,30), (3,4,5)
+    # row1 filter 4 (Paeth): x=0: pred=paeth(0, up=(10,20,30), 0)=up
+    #   -> f = (9-10, 19-20, 31-30) mod 256 = (255, 255, 1)
+    #   x=1: a=left=(9,19,31), b=up=(13,24,35), c=ul=(10,20,30)
+    #   p = a+b-c = (12,23,36); |p-a|=(3,4,5) |p-b|=(1,1,1) |p-c|=(2,3,6)
+    #   -> predictor = b per channel -> f = (12-13, 24-24, 36-35) = (255,0,1)
+    raw = bytes(
+        [1, 10, 20, 30, 3, 4, 5]
+        + [4, 255, 255, 1, 255, 0, 1]
+    )
+    got = decode_png(_png_pack(2, 2, 2, raw))
+    want = np.array(
+        [[[10, 20, 30], [13, 24, 35]], [[9, 19, 31], [12, 24, 36]]],
+        dtype=np.uint8,
+    )
+    assert (got == want).all()
+
+
+def test_png_decode_rgba_drops_alpha():
+    import numpy as np
+
+    from colymer_acquirers_spark.operators.multimodal import decode_png
+
+    # 1x2 RGBA, filter 0: (1,2,3,255), (4,5,6,128) -> alpha dropped
+    raw = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+    got = decode_png(_png_pack(2, 1, 6, raw))
+    assert (got == np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)).all()
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from colymer_acquirers_spark.operators.multimodal import decode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+    # palette color type (3) is unsupported -> ValueError (fake fallback)
+    raw = bytes([0, 0])
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(_png_pack(1, 1, 3, raw))
+    # truncated mid-IDAT (cut reaches past IEND and the IDAT crc into the
+    # chunk body; the chunk-length check must fire)
+    ok = _png_pack(1, 1, 2, bytes([0, 1, 2, 3]))
+    with _pytest.raises(ValueError):
+        decode_png(ok[:-18])
+
+
+def test_png_real_decode_mixed_paths(spark, media):
+    """decode='real' over PNG fixture rows reports DECODED pixel stats
+    (verified against the pure-Python stats recomputation); fake rows are
+    untouched — the PNG twin of test_real_decode_mixed_paths."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from colymer_acquirers_spark.operators.multimodal import (
+        _png_pixel_stats,
+        extract_image_features,
+        synth_media_png,
+    )
+
+    png = synth_media_png(spark, 40).withColumn(
+        "media_id", F.col("media_id") + 2_000_000
+    ).persist()
+    mixed = png.unionByName(media)
+    feats = {r["media_id"]: r for r in
+             extract_image_features(mixed, decode="real").collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in png.collect()}
+    assert len(src) == 40
+    for mid, payload in src.items():
+        r = feats[mid]
+        w, h, mean, hist = _png_pixel_stats(payload)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_byte"] == pytest.approx(mean)
+        assert np.allclose(r["feature"], hist, atol=1e-6)
+        assert r["sha256"] == _hashlib.sha256(payload).hexdigest()
+    png.unpersist()
