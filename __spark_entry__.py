@@ -143,9 +143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def flagship_recrawl(spark, sf):
         """Re-crawl flow end-to-end: crawl 2 rounds → evict the first
         fetched url (round-stamped seen eviction) → reseed + resume to 4
-        rounds. The returned crawl_order contains that url TWICE — the
-        value oracles (exactly-once re-fetch, determinism, compaction
-        interplay) live in tests/test_evict_recrawl.py."""
+        rounds. The returned (rank, url, round) surface contains that url
+        TWICE (round 0 and round 2) and is DuckDB-oracled since r5 by the
+        unrolled-round CTEs with the reseed injection
+        (queries._crawl_ctes(reseed_min_seed_at=2)); the deeper value
+        oracles (exactly-once re-fetch, determinism, compaction
+        interplay) stay in tests/test_evict_recrawl.py."""
         import os
 
         from pyspark.sql import functions as F
@@ -177,7 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             evict_seen(spark, wd, target.select("url"))
             run_crawl(spark, pages, seeds, None, None, wd, max_rounds=4,
                       reseed=target)
-        return read_output(spark, wd, "crawl_order").orderBy("rank")
+        return (
+            read_output(spark, wd, "crawl_order")
+            .select("rank", "url", "round")
+            .orderBy("rank")
+        )
     out["flagship_recrawl"] = flagship_recrawl
 
     def streaming_hourly_lang_counts(spark, sf):

@@ -1148,7 +1148,20 @@ def oracle_sql() -> dict[str, str]:
     # at depth+1, excluding seen ∪ this round's fetches → next frontier =
     # per-url tuple-min merge of carryover ∪ new candidates.
     # ------------------------------------------------------------------
-    def _crawl_ctes(rounds: int = 3, budget: int = 4, n_seeds: int = 5) -> str:
+    def _crawl_ctes(
+        rounds: int = 3,
+        budget: int = 4,
+        n_seeds: int = 5,
+        reseed_min_seed_at: int | None = None,
+    ) -> str:
+        """reseed_min_seed_at=k mirrors the evict→reseed recrawl flow: after
+        round k-1, the overall rank-0 url (= the min-url seed, since all
+        seeds share priority 0 / depth 0) is evicted from seen and
+        reseeded, so round k's frontier gains it back at (priority 0,
+        depth 0). That injection is the eviction's ONLY effect on the
+        unrolled SQL: the target re-enters fe_k immediately, so every
+        later round's seen set (∪ fe_0..fe_r) is unchanged as a set, and
+        all pre-eviction expansions already happened."""
         parts = [
             "nn AS (SELECT COUNT(*) AS n FROM documents)",
             (
@@ -1206,12 +1219,18 @@ def oracle_sql() -> dict[str, str]:
                     f" FROM l{r} l JOIN uu u USING (doc_id)"
                     f" WHERE u.url NOT IN (SELECT url FROM s{r}))"
                 )
+                reseed = (
+                    " UNION ALL SELECT doc_id, url, host, 0 AS priority,"
+                    " 0 AS depth FROM (SELECT * FROM f0 ORDER BY url LIMIT 1)"
+                    if reseed_min_seed_at == r + 1
+                    else ""
+                )
                 parts.append(
                     f"f{r + 1} AS (SELECT doc_id, url, host, priority, depth"
                     f" FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY url"
                     f" ORDER BY priority, depth) AS mrn"
                     f" FROM (SELECT * FROM ca{r}"
-                    f" UNION ALL SELECT * FROM nw{r})) WHERE mrn = 1)"
+                    f" UNION ALL SELECT * FROM nw{r}{reseed})) WHERE mrn = 1)"
                 )
         fetched_all = " UNION ALL ".join(
             f"SELECT doc_id, url, CAST({r} AS INTEGER) AS round,"
@@ -1853,6 +1872,16 @@ def oracle_sql() -> dict[str, str]:
     # full article envelope, and the attachments→media-features pipeline
     out["flagship_crawl_order"] = (
         f"{_crawl3}\nSELECT rank, url, round FROM ({_order_union})"
+    )
+    # recrawl: 2 rounds (politeness=None → default_budget, no cut) →
+    # evict the rank-0 url → reseed → rounds 2-3; the crawl_order carries
+    # the target TWICE (round 0 and round 2)
+    _recrawl4 = _crawl_ctes(4, budget=1_000_000, reseed_min_seed_at=2)
+    _recrawl_union = " UNION ALL ".join(
+        f"SELECT * FROM o{r}" for r in range(4)
+    )
+    out["flagship_recrawl"] = (
+        f"{_recrawl4}\nSELECT rank, url, round FROM ({_recrawl_union})"
     )
     out["flagship_crawl_articles"] = f"{_crawl3}\n{_articles_select}"
     out["crawl_attachments_pipeline"] = f"{_crawl3}{_attachments_select}"

@@ -41,10 +41,10 @@ def test_rows_only_inventory_is_explicit():
     # final-watermark filter) gained full oracles
     # r05: the flagship crawl family (order + articles + attachments
     # pipeline) gained unrolled-round DuckDB CTEs, multimodal a VALUES
-    # recomputation, ann_ivf_topk regenerated kmeans-literal SQL — only
-    # the evict→recrawl flow (filesystem state mutation mid-query) stays
-    # rows-only, with tests/test_evict_recrawl.py as its value oracle
-    assert ROWS_ONLY == ["flagship_recrawl"], ROWS_ONLY
+    # recomputation, ann_ivf_topk regenerated kmeans-literal SQL, and
+    # finally flagship_recrawl the reseed-injection CTE variant — the
+    # rows-only set is EMPTY: every catalog entry is value-oracled
+    assert ROWS_ONLY == [], ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
