@@ -795,6 +795,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(d, bench, "doc_id", "text", n=8)
     q["decontamination_flags"] = decontamination_flags
 
+    def line_dedup_clean(spark, sf):
+        """RefinedWeb/CCNet-style boilerplate line removal over a derived
+        line-structured view of documents (3-word chunks as 'lines' — the
+        synthetic vocabulary is small enough that real cross-document
+        duplicate lines exist at every sf)."""
+        from colymer_acquirers_spark.operators.cleaning import line_dedup
+
+        d = _t(spark, sf, "documents")
+        toks = F.split(F.col("text"), " ")
+        k = 3
+        n_chunks = F.ceil(F.size(toks) / k).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+        lined = d.select(
+            "doc_id", F.array_join(lines, "\n").alias("text_nl")
+        )
+        return line_dedup(lined, "doc_id", "text_nl", min_df=3).select(
+            "doc_id",
+            F.md5(F.encode(F.col("text_clean"), "utf-8")).alias("text_clean_md5"),
+            "n_lines",
+            "n_lines_removed",
+        )
+    q["line_dedup_clean"] = line_dedup_clean
+
+    def pii_redaction(spark, sf):
+        """PII scrub over documents with deterministically injected PII
+        (the synthetic corpus carries none of its own): every 3rd doc
+        gains an email, every 5th a phone, every 7th an IPv4."""
+        from colymer_acquirers_spark.operators.cleaning import pii_redact
+
+        d = _t(spark, sf, "documents")
+        idc = F.col("doc_id")
+        injected = F.concat(
+            F.col("text"),
+            F.when(
+                idc % 3 == 0,
+                F.format_string(" contact user%d@example.com", idc),
+            ).otherwise(F.lit("")),
+            F.when(
+                idc % 5 == 0,
+                F.format_string(" call +1 555 01%02d 4321", idc % 100),
+            ).otherwise(F.lit("")),
+            F.when(
+                idc % 7 == 0,
+                F.format_string(" host 10.0.%d.1", idc % 256),
+            ).otherwise(F.lit("")),
+        )
+        return pii_redact(
+            d.select("doc_id", injected.alias("text_pii")),
+            "doc_id",
+            "text_pii",
+        ).select(
+            "doc_id",
+            F.md5(F.encode(F.col("text_redacted"), "utf-8")).alias("text_redacted_md5"),
+            "n_email",
+            "n_phone",
+            "n_ipv4",
+        )
+    q["pii_redaction"] = pii_redaction
+
     # envelope normalization (P1-P5): printf-built raw JSON → schema-on-read
     # projection + type-classification ladder + epoch→timestamp conversion
     def json_envelope_normalize(spark, sf):
@@ -990,6 +1052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from colymer_acquirers_spark.operators.cleaning import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_IPV4_RE as _PII_IPV4,
+        PII_PHONE_RE as _PII_PHONE,
+    )
+
     dot = (
         "list_sum(list_apply(list_zip({a}, {b}), x -> x[1] * x[2]))"
     )
@@ -1784,6 +1852,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(nc, 0) AS n_contaminated_shingles,
                    COALESCE(nc, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+        """,
+        # line-level boilerplate dedup over the derived 3-word-chunk view;
+        # paired unnests zip positionally in DuckDB, giving (pos, line)
+        "line_dedup_clean": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents),
+            lined AS (SELECT doc_id,
+                list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+                    i -> array_to_string(list_slice(toks, i*3 + 1, i*3 + 3),
+                                         ' ')) AS lines
+                FROM base),
+            ln AS (SELECT doc_id, unnest(lines) AS line,
+                          unnest(range(1, len(lines) + 1)) AS pos
+                   FROM lined),
+            freq AS (SELECT line FROM ln GROUP BY line
+                     HAVING COUNT(DISTINCT doc_id) >= 3),
+            kept AS (SELECT doc_id, pos, line FROM ln
+                     WHERE line NOT IN (SELECT line FROM freq)),
+            re AS (SELECT doc_id,
+                          string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                          COUNT(*) AS n_kept
+                   FROM kept GROUP BY doc_id)
+            SELECT l.doc_id, md5(COALESCE(re.text_clean, '')) AS text_clean_md5,
+                   CAST(len(l.lines) AS INT) AS n_lines,
+                   CAST(len(l.lines) - COALESCE(re.n_kept, 0) AS INT)
+                     AS n_lines_removed
+            FROM lined l LEFT JOIN re ON re.doc_id = l.doc_id
+        """,
+        # PII scrub with deterministic injection; counts run on the
+        # PROGRESSIVELY redacted text (email -> phone -> ipv4), matching
+        # the operator's no-double-count order
+        "pii_redaction": f"""
+            WITH p AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                     || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 01'
+                     || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 4321'
+                   ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                   ELSE '' END AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT)
+                       AS n_email,
+                     regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+                   FROM p),
+            s2 AS (SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT)
+                       AS n_phone,
+                     regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_phone,
+                     CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT)
+                       AS n_ipv4,
+                     regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, md5(t) AS text_redacted_md5,
+                   n_email, n_phone, n_ipv4
+            FROM s3
         """,
         # streaming entries: exact batch equivalents of the append-mode
         # streamed output. The pages view derivation (warc_ts = epoch
