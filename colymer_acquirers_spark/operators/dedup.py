@@ -348,14 +348,16 @@ def near_dup_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        # isEmpty, not count(): the convergence check only needs ANY
+        # changed label, so the probe job early-exits at the first one
+        unchanged = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            .isEmpty()
         )
         labels = new_labels
-        if changed == 0:
+        if unchanged:
             converged = True
             break
     if not converged:
