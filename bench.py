@@ -171,6 +171,9 @@ def run_bench() -> dict:
         "near_dup_clusters",
         # corpus-selection family (broadcast eval-shingle decontamination)
         "decontamination_flags",
+        # round-5 additions: corpus-cleaning family
+        "line_dedup_clean",
+        "pii_redaction",
     ]
     # r05 protocol (VERDICT r4 #4): per-query numbers are the MEDIAN of
     # BENCH_QUERY_REPEAT executions — r04's single-run table drifted
