@@ -326,10 +326,16 @@ def run_scaling() -> None:
     for s in range(max(1, SCALE_SESSIONS)):
         out: dict[int, dict] = {}
         runs: dict[int, list] = {}
-        for cpus in (SCALE_N, SCALE_4N):
-            best = None
-            runs[cpus] = []
-            for _ in range(SCALE_REPEAT):
+        # INTERLEAVE the levels (N, 4N, N, 4N) instead of running each
+        # level's repeats back-to-back (r5 protocol fix): the box's granted
+        # capacity drifts on ~10-minute scales, and a block design lets one
+        # level land entirely inside a fast window — r5 measured a session
+        # whose local[2] block ran 25% faster than every other session's
+        # (1088 vs ~1450 CPU-µs/URL) and printed eff=0.594 with the SAME
+        # code that scored 0.79 twice an hour earlier. Adjacent-in-time
+        # levels see the same weather, so the ratio measures the engine.
+        for rep in range(SCALE_REPEAT):
+            for cpus in (SCALE_N, SCALE_4N):
                 env = dict(
                     os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_AFFINITY="1"
                 )
@@ -344,14 +350,14 @@ def run_scaling() -> None:
                     ln for ln in r.stdout.splitlines() if ln.startswith("{")
                 ][-1]
                 res = json.loads(line)
-                runs[cpus].append(res["crawl_urls_per_sec"])
+                runs.setdefault(cpus, []).append(res["crawl_urls_per_sec"])
+                best = out.get(cpus)
                 if (
                     best is None
                     or res["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]
                 ):
-                    best = res
+                    out[cpus] = res
                 print(f"session {s} local[{cpus}]: {res}", file=sys.stderr)
-            out[cpus] = best
         tn = out[SCALE_N]["crawl_urls_per_sec"]
         t4n = out[SCALE_4N]["crawl_urls_per_sec"]
         cpu_n = out[SCALE_N].get("crawl_cpu_us_per_url", 0)
@@ -396,11 +402,20 @@ budget {budget}/host/round) at `local[{SCALE_N}]` and
 is CPU-AFFINITY-PINNED (`sched_setaffinity`) to exactly its core budget:
 without pinning, a local[N] JVM's GC/JIT/shuffle-IO threads overflow onto
 extra host cores and inflate the small-N baseline (measured +25% at N=2),
-understating true scaling. Best of {SCALE_REPEAT} runs per level, and the
-whole protocol repeated for {len(sessions)} SESSIONS — the headline is the
-MEDIAN session's efficiency (r04 protocol; the box's granted capacity
-visibly fluctuates hour-to-hour, so a single session's number depends on
-box weather).
+understating true scaling. Best of {SCALE_REPEAT} runs per level with the
+levels INTERLEAVED in time (N, 4N, N, 4N — r5 protocol: the box's granted
+capacity drifts on ~10-minute scales, and a block design let one level
+land entirely inside a fast window: same code printed eff 0.79, 0.79,
+then 0.59 when a session's whole local[2] block ran 25% faster than any
+other session's), and the whole protocol repeated for {len(sessions)}
+SESSIONS — the headline is the MEDIAN session's efficiency (r04
+protocol).
+
+r5 engine change relevant to this gate: staging HOF-lambda subtrees in
+the envelope/link extraction cut end-to-end crawl JVM-CPU per URL by
+20% (same-day alternating cold A/B at local[32]: 4300/4369 → 3367/3558
+µs/URL; PLANS.md round-5 audit) — less CPU per URL means less pressure
+on the per-node memory-bandwidth ceiling that bounds N→4N here.
 
 ## All sessions
 
