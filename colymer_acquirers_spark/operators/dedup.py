@@ -72,6 +72,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -79,6 +80,18 @@ def minhash_lsh_pairs(
     the band self-join is an equi-join on (band_idx, band_key) — shuffle on
     the bucket key only, never a cross join. Returns distinct (id_a, id_b),
     id_a < id_b.
+
+    ``bucket_cap`` (opt-in) is the 100 TB hot-cluster guard, measured in
+    BENCH/skew_experiment.py: a boilerplate page duplicated h times puts
+    all h copies in one band bucket and the self-join emits h(h-1)/2
+    pairs — 1,500 hot docs already produce 1.12M candidates, and at
+    h=10^7 the clique is unrepresentable. Buckets larger than the cap
+    switch from clique to STAR expansion: every member pairs with the
+    bucket's min id only (h-1 pairs). Connectivity through the hub is
+    preserved, so downstream connected-components clustering finds the
+    same near-dup GROUPS; pairwise verification semantics change
+    (member↔member similarity is attested transitively via the hub),
+    which is why the default (None) keeps exact clique semantics.
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -101,6 +114,47 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band_idx", "bk.band_key")
     banded = pin_shuffle_width(banded, "band_idx", "band_key")
+    if bucket_cap is not None:
+        # one aggregation over the banded rows decides per bucket: size and
+        # hub (min id). Small buckets keep the exact clique join; oversized
+        # ones emit hub→member star edges straight from the aggregate —
+        # O(h) rows, no self-join ever touches them.
+        # The banded rows are referenced by stats AND both join sides:
+        # without a checkpoint the shingle→minhash lineage (the expensive
+        # part) re-executes per reference (measured 21 → 49 s on the skew
+        # corpus); with it the capped path pays one materialization.
+        banded = banded.localCheckpoint(eager=False)
+        stats = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.col(id_col)).alias("__hub"),
+        )
+        # same join key as the self-join → co-partitioned with the pinned
+        # width, no extra shuffle of the banded rows
+        banded_s = banded.join(stats, on=["band_idx", "band_key"])
+        small = banded_s.filter(F.col("__n") <= int(bucket_cap)).drop(
+            "__n", "__hub"
+        )
+        big_star = (
+            banded_s.filter(
+                (F.col("__n") > int(bucket_cap))
+                & (F.col(id_col) != F.col("__hub"))
+            )
+            .select(
+                F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        clique = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        return clique.unionByName(big_star).dropDuplicates(["id_a", "id_b"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

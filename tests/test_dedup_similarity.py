@@ -540,3 +540,47 @@ def test_pair_expansion_joins_keep_explicit_width(spark, docs, vectors):
             if "REPARTITION_BY_NUM" in ln and key in ln
         ]
         assert pinned, f"no REPARTITION_BY_NUM exchange on {key}:\n{plan[:1500]}"
+
+
+def test_lsh_bucket_cap_star_expansion(spark):
+    """bucket_cap: oversized band buckets switch from clique (h(h-1)/2
+    pairs) to hub-star (h-1 pairs) expansion; connectivity — hence the
+    downstream near-dup components — is preserved, and bucket_cap=None
+    keeps the exact clique semantics."""
+    from pyspark.sql import functions as F
+
+    from colymer_acquirers_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_components,
+    )
+
+    # 30 identical docs (one hot cluster) + 10 unique docs
+    rows = [(i, "the same boilerplate page body text here") for i in range(30)]
+    rows += [(100 + i, f"unique{i} totally different words u{i} v{i} w{i}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = minhash_lsh_pairs(df, "doc_id", "text").cache()
+    capped = minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=5).cache()
+
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 30 * 29 // 2  # the quadratic clique
+    assert n_capped == 29  # hub-star: every hot doc pairs with min id 0
+    assert capped.filter(F.col("id_a") == 0).count() == 29
+
+    comp_full = {
+        (r["id"], r["component"])
+        for r in near_dup_components(full, "id_a", "id_b").collect()
+    }
+    comp_capped = {
+        (r["id"], r["component"])
+        for r in near_dup_components(capped, "id_a", "id_b").collect()
+    }
+    assert comp_full == comp_capped  # same groups, linear pair budget
+
+    # cap larger than every bucket → exact clique output, byte-identical
+    uncapped_eq = minhash_lsh_pairs(df, "doc_id", "text", bucket_cap=1000)
+    assert sorted(map(tuple, uncapped_eq.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    full.unpersist(); capped.unpersist()
