@@ -283,6 +283,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     out["multimodal_image_features"] = multimodal_image_features
 
+    def video_frame_sample(spark, sf):
+        """Frame-sampling plumbing over synth video rows (stub 16-byte
+        slices per sampled timestamp; real decode would slot into the same
+        mapInPandas) — VALUES oracle recomputed independently in pure
+        Python via the XXH64 mirror."""
+        from pyspark.sql import functions as F
+
+        from colymer_acquirers_spark.operators.multimodal import (
+            sample_frames,
+            synth_media,
+        )
+
+        fr = sample_frames(synth_media(spark, 256))
+        return fr.select(
+            "media_id", "frame_idx", F.md5("frame_payload").alias("frame_md5")
+        )
+    out["video_frame_sample"] = video_frame_sample
+
     # Catalog ORDER is the driver's evaluation order; r4's correctness file
     # was truncated at the two expensive tail entries. The (now cheap)
     # multimodal/attachments entries move up right behind the core catalog;

@@ -53,6 +53,38 @@ def _ivf_kmeans_cents_oracle() -> tuple | None:
 
 
 @functools.lru_cache(maxsize=1)
+def _frames_values_sql() -> str:
+    """Expected-output oracle for ``video_frame_sample``: synth_media's
+    video rows and the stub frame-slice math are deterministic pure-Python
+    recomputable (payload = 8 md5-counter hexdigests; duration =
+    pmod(xxhash64(id, 4), 600000) via the XXH64 mirror), so the oracle is
+    an independent host-side recomputation emitted as a VALUES table."""
+    import hashlib
+
+    from colymer_acquirers_spark.functions.xxh64 import Int32, pmod, xxhash64
+
+    rows = []
+    for mid in range(256):
+        if pmod(xxhash64(mid, Int32(1)), 3) != 2:  # kind != 'video'
+            continue
+        payload = "".join(
+            hashlib.md5(f"{mid}#{i}".encode()).hexdigest() for i in range(8)
+        ).encode()
+        dur = pmod(xxhash64(mid, Int32(4)), 600_000)
+        n_fr = min(max(dur // 10_000, 1), 8)
+        step = max(len(payload) // n_fr, 1)
+        for i in range(n_fr):
+            frame = payload[i * step : i * step + 16]
+            rows.append((mid, i, hashlib.md5(frame).hexdigest()))
+    vals = ",\n".join(f"({m}, {i}, '{h}')" for m, i, h in rows)
+    return f"""
+        SELECT CAST(c0 AS BIGINT) AS media_id, CAST(c1 AS INTEGER)
+                 AS frame_idx, c2 AS frame_md5
+        FROM (VALUES {vals}) t(c0, c1, c2)
+    """
+
+
+@functools.lru_cache(maxsize=1)
 def _multimodal_values_sql() -> str:
     """Expected-output oracle for ``multimodal_image_features``: the synth
     media tables and both decode paths (real BMP pixel stats, byte-stat
@@ -2016,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
     out["flagship_crawl_articles"] = f"{_crawl3}\n{_articles_select}"
     out["crawl_attachments_pipeline"] = f"{_crawl3}{_attachments_select}"
     out["multimodal_image_features"] = _multimodal_values_sql()
+    out["video_frame_sample"] = _frames_values_sql()
     _km = _ivf_kmeans_cents_oracle()
     if _km is not None:
         out["ann_ivf_topk"] = _ivf_sql(
