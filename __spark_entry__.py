@@ -96,36 +96,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b")
     out["embedding_near_dup_lsh_pairs"] = embedding_near_dup_lsh_pairs
 
-    def ann_lsh_topk(spark, sf):
-        from colymer_acquirers_spark.operators.similarity import ann_cosine_topk_lsh
-
-        e = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        # id-only projection, like ann_cosine_topk: the DuckDB oracle
-        # re-ranks with its own float summation, so the hashed surface is
-        # the (deterministic) id ranking, not raw float sims
-        return ann_cosine_topk_lsh(
-            e, qv, dim=len(qv), k=10, n_planes=8
-        ).select("vec_id")
-    out["ann_lsh_topk"] = ann_lsh_topk
-
-    def ann_ivf_topk(spark, sf):
-        from colymer_acquirers_spark.operators.similarity import (
-            ann_cosine_topk_ivf,
-        )
-
-        e = spark.read.parquet(f"{sf}/embeddings.parquet")
-        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        # id-only projection (like the _fixed twin): the oracle re-ranks
-        # with its own float summation, so the hashed surface is the
-        # deterministic id ranking. The oracle SQL is GENERATED with the
-        # kmeans centroids recomputed bit-for-bit outside Spark
-        # (queries._ivf_kmeans_cents_oracle).
-        return ann_cosine_topk_ivf(
-            e, qv, k=10, n_centroids=8, n_probe=3
-        ).select("vec_id")
-    out["ann_ivf_topk"] = ann_ivf_topk
-
     def streaming_dedup_articles(spark, sf):
         import tempfile
 
@@ -160,26 +130,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             run_crawl,
         )
 
-        # stable cached workdir (same pattern as run_flagship_crawl): once
-        # all 4 rounds are committed, the crawl→evict→recrawl flow is pure
-        # re-read — the mutation steps run only on a fresh dir
+        # stable cached workdir (same pattern as run_flagship_crawl), but
+        # the crawl→evict→recrawl flow MUTATES state between runs, so a
+        # `committed_rounds < 4` gate alone is not crash-safe (ADVICE r5):
+        # a run dying after evict_seen but before round 4 commits would,
+        # on rerun, re-run evict_seen against the newer committed rounds
+        # and permanently cache a corrupted crawl_order. Instead the whole
+        # flow is staged in a scratch dir and atomically renamed into
+        # place on success; readers only ever see a complete flow.
+        import shutil
+
         wd = _q.flagship_workdir(sf, 4) + "_recrawl"
-        os.makedirs(wd, exist_ok=True)
-        if len(committed_rounds(wd)) < 4:
+        done = os.path.join(wd, "_FLOW_DONE")
+        if not os.path.exists(done):
+            tmp = wd + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
             pages = _q.pages_from_documents(spark, sf)
             seeds = pages.orderBy("url").limit(5).select(
                 "url", F.lit(0).cast("int").alias("priority")
             )
-            run_crawl(spark, pages, seeds, None, None, wd, max_rounds=2)
+            run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=2)
             url = (
-                read_output(spark, wd, "crawl_order")
+                read_output(spark, tmp, "crawl_order")
                 .orderBy("rank")
                 .first()["url"]
             )
             target = spark.createDataFrame([(url, 0)], ["url", "priority"])
-            evict_seen(spark, wd, target.select("url"))
-            run_crawl(spark, pages, seeds, None, None, wd, max_rounds=4,
+            evict_seen(spark, tmp, target.select("url"))
+            run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=4,
                       reseed=target)
+            assert len(committed_rounds(tmp)) == 4
+            with open(os.path.join(tmp, "_FLOW_DONE"), "w") as fh:
+                fh.write("ok\n")
+            shutil.rmtree(wd, ignore_errors=True)
+            os.rename(tmp, wd)
         return (
             read_output(spark, wd, "crawl_order")
             .select("rank", "url", "round")
@@ -301,23 +286,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     out["video_frame_sample"] = video_frame_sample
 
-    # Catalog ORDER is the driver's evaluation order; r4's correctness file
-    # was truncated at the two expensive tail entries. The (now cheap)
-    # multimodal/attachments entries move up right behind the core catalog;
-    # the crawl-workdir-sharing flagship family stays contiguous after them.
-    front = [
+    def corpus_pipeline(spark, sf):
+        """The composed training-data product, end-to-end in ONE frame
+        (VERDICT r5 #5): crawl 3 rounds (shared cached workdir) → line-level
+        boilerplate cleaning over 3-word-chunk lines (min_df=3) → minhash
+        banded-LSH + exact-Jaccard-verified near-dup pairs (threshold 0.5)
+        on the CLEANED text → connected components → representative keep
+        (min-id) → deterministic 98/1/1 hash-split assignment for the kept
+        docs. Every stage is an already-oracled operator; this entry puts
+        their composition under one DuckDB hash (unrolled crawl CTEs +
+        line-dedup CTEs + minhash CTEs + recursive-reachability CTE)."""
+        from pyspark.sql import functions as F
+
+        from colymer_acquirers_spark.operators.cleaning import line_dedup
+        from colymer_acquirers_spark.operators.dedup import (
+            minhash_near_dups_verified,
+            near_dup_components,
+        )
+        from colymer_acquirers_spark.operators.sampling import (
+            hash_split_assign,
+        )
+        from colymer_acquirers_spark.plans.crawl import read_output
+
+        wd = _q.run_flagship_crawl(spark, sf, max_rounds=3)
+        docs = read_output(spark, wd, "articles").select(
+            F.regexp_extract("url", r"/d/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "url",
+            "round",
+            "content",
+        )
+        k = 3
+        toks = F.split(F.col("content"), " ")
+        n_chunks = F.ceil(F.size(toks) / k).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+        lined = docs.select(
+            "doc_id", F.array_join(lines, "\n").alias("text_nl")
+        )
+        cleaned = line_dedup(lined, "doc_id", "text_nl", min_df=3).select(
+            "doc_id",
+            F.replace(F.col("text_clean"), F.lit("\n"), F.lit(" ")).alias(
+                "text_clean_sp"
+            ),
+            "n_lines_removed",
+        )
+        pairs = minhash_near_dups_verified(
+            cleaned, "doc_id", "text_clean_sp", threshold=0.5
+        )
+        comp = near_dup_components(pairs.select("id_a", "id_b"))
+        out_df = (
+            docs.select("doc_id", "url", "round")
+            .join(cleaned.select("doc_id", "n_lines_removed"), "doc_id")
+            .join(
+                comp.select(F.col("id").alias("doc_id"), "component"),
+                "doc_id",
+                "left",
+            )
+        )
+        kept = F.col("component").isNull() | (
+            F.col("doc_id") == F.col("component")
+        )
+        out_df = hash_split_assign(
+            out_df, "doc_id", {"train": 98, "val": 1, "test": 1}
+        )
+        return out_df.select(
+            "doc_id",
+            "url",
+            "round",
+            "n_lines_removed",
+            "component",
+            kept.alias("kept"),
+            F.when(kept, F.col("split")).alias("split"),
+        )
+    out["corpus_pipeline"] = corpus_pipeline
+
+    # Catalog ORDER is the driver's evaluation order and its correctness
+    # window holds 50 entries (CORRECTNESS_r04/r05 are exact
+    # queries()[0:50] prefixes) — the r6 consolidation shrank the catalog
+    # to ≤ 50 so EVERY entry earns a driver row every round. Explicit
+    # order: core catalog first, then the r5-dark entries (streaming,
+    # video_frame_sample) early in the extras block, then the
+    # crawl-workdir-sharing flagship family contiguously.
+    extras = [
         "multimodal_image_features",
+        "video_frame_sample",
+        "streaming_dedup_articles",
+        "streaming_hourly_lang_counts",
+        "streaming_host_sessions",
         "flagship_crawl_order",
         "flagship_crawl_articles",
         "crawl_attachments_pipeline",
+        "corpus_pipeline",
         "flagship_recrawl",
+        "minhash_lsh_candidate_pairs",
+        "minhash_near_dups_verified",
+        "simhash_near_dup_pairs",
+        "embedding_near_dup_lsh_pairs",
     ]
-    ordered = {k: out[k] for k in out if k not in front}
-    items = list(ordered.items())
-    base = len(_q.queries())  # insert after the core catalog entries
-    for i, k in enumerate(front):
-        items.insert(base + i, (k, out[k]))
-    return dict(items)
+    core = [name for name in out if name not in extras]
+    assert len(core) + len(extras) == len(out), sorted(out)
+    assert len(out) <= 50, f"catalog must fit the driver window: {len(out)}"
+    return {name: out[name] for name in core + extras}
 
 
 def oracle_sql() -> dict[str, str]:

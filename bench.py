@@ -155,14 +155,18 @@ def run_bench() -> dict:
         "argmax_best_variant",
         "explode_word_count",
         "minhash_signature",
-        "ann_cosine_topk",
+        # r6 rename: the r1-r5 ann_cosine_topk / ngram_jaccard_dfcap /
+        # token_count_bpe keys became variant-merged entries when the
+        # catalog was consolidated to fit the driver's 50-entry window —
+        # each merged entry is a strict superset of its old key's work
+        "ann_topk_variants",
         "crawl_one_round_schedule",
         "dedup_exact_hash",
         # round-3 additions (new keys only — earlier keys stay comparable
         # across rounds): dedup/text-analysis families at sf scale
         "simhash16",
-        "ngram_jaccard_dfcap",
-        "token_count_bpe",
+        "ngram_jaccard_variants",
+        "token_counts",
         "repetition_signals",
         # round-4 additions: the flagship dedup COMPOSITIONS (LSH
         # candidates → exact-verify; pair edges → connected components) —
@@ -174,6 +178,9 @@ def run_bench() -> dict:
         # round-5 additions: corpus-cleaning family
         "line_dedup_clean",
         "pii_redaction",
+        # round-6 addition: the composed end-to-end training-data product
+        # (crawl → clean → dedup → components → keep → split)
+        "corpus_pipeline",
     ]
     # r05 protocol (VERDICT r4 #4): per-query numbers are the MEDIAN of
     # BENCH_QUERY_REPEAT executions — r04's single-run table drifted

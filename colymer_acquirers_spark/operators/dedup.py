@@ -73,6 +73,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     bucket_cap: int | None = None,
+    hot_bucket_warn: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -92,6 +93,18 @@ def minhash_lsh_pairs(
     same near-dup GROUPS; pairwise verification semantics change
     (member↔member similarity is attested transitively via the hub),
     which is why the default (None) keeps exact clique semantics.
+
+    ``hot_bucket_warn`` keeps the DEFAULT (uncapped) path from being
+    silent at scale: when ``bucket_cap`` is None, one cheap aggregation
+    over the banded rows measures the largest bucket up front, and if it
+    exceeds the threshold a ``UserWarning`` names the size and the
+    ``bucket_cap`` escape hatch — the operator learns about the
+    h(h-1)/2 expansion BEFORE the self-join attempts it, not during.
+    The emitted pairs are byte-identical with or without the check
+    (observational only); set ``hot_bucket_warn=None`` to skip the
+    extra job. The banded rows are lazily checkpointed first, so the
+    expensive shingle→minhash lineage is materialized once and shared
+    by the diagnostic and both self-join sides.
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -113,6 +126,33 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band_idx", "bk.band_key")
+    if bucket_cap is None and hot_bucket_warn is not None:
+        # checkpoint BEFORE the width pin: the diagnostic aggregation and
+        # the self-join share the materialized shingle→minhash lineage,
+        # and the pin is applied on top afterwards — a checkpoint taken
+        # after the pin would hide it (the join would re-shuffle with an
+        # ENSURE_REQUIREMENTS exchange that AQE may coalesce, the exact
+        # quadratic-collapse trap the pin exists to prevent; caught by
+        # test_pair_expansion_joins_keep_explicit_width)
+        banded = banded.localCheckpoint(eager=False)
+        max_n = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n"))
+            .first()[0]
+        )
+        if max_n is not None and max_n > int(hot_bucket_warn):
+            import warnings
+
+            warnings.warn(
+                f"minhash_lsh_pairs: largest band bucket holds {max_n} "
+                f"docs (> hot_bucket_warn={hot_bucket_warn}); the clique "
+                f"self-join will emit ~{max_n * (max_n - 1) // 2} "
+                "candidate pairs from that bucket alone. Pass "
+                "bucket_cap=N to switch oversized buckets to O(h) "
+                "star expansion (connectivity-preserving).",
+                stacklevel=2,
+            )
     banded = pin_shuffle_width(banded, "band_idx", "band_key")
     if bucket_cap is not None:
         # one aggregation over the banded rows decides per bucket: size and

@@ -255,6 +255,13 @@ def run_round(
     pool = ThreadPoolExecutor(max_workers=4)
 
     def _write(df, name):
+        # job description is a thread-local Spark property: each pool
+        # thread tags its own write so event-log/UI stages attribute to
+        # the output they produce (observability at cluster scale; the
+        # BENCH/cpu_audit.py per-stage CPU audit keys off this)
+        df.sparkSession.sparkContext.setJobDescription(
+            f"round{rnd}:write:{name}"
+        )
         write_table(df, os.path.join(out_dir, name), mode="overwrite")
 
     obs_articles = Observation()

@@ -19,22 +19,38 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # the driver evaluates every oracle at this fixed scale factor; the one
-# data-dependent oracle (ann_ivf_topk's kmeans centroids) recomputes its
-# literals from the same parquet the driver queries against
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# data-dependent oracle (ann_topk_variants' kmeans centroids) recomputes
+# its literals from the same parquet the driver queries against.
+# Overridable (ADVICE r5): if the driver ever evaluates at a different sf,
+# point this env var at that dir — a stale-literal oracle would otherwise
+# be silently wrong rather than loudly absent.
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 @functools.lru_cache(maxsize=1)
 def _ivf_kmeans_cents_oracle() -> tuple | None:
-    """Recompute ``kmeans_centroids``'s output for the sf0.01 embeddings
+    """Recompute ``kmeans_centroids``'s output for the oracle-sf embeddings
     WITHOUT Spark, bit-for-bit: the sample is the 2048 rows with the
     smallest (xxhash64(vec_id, 42), vec_id) — mirrored by the pure-Python
     XXH64 — and the clustering is the same driver-side numpy
-    (similarity.kmeans_lloyd). Baked into the ann_ivf_topk oracle as
-    literals (the ann_ivf_topk_fixed pattern applied to the production
-    kmeans path)."""
+    (similarity.kmeans_lloyd). Baked into the ann_topk_variants oracle as
+    literals (the fixed-centroid pattern applied to the production kmeans
+    path). Returns None — and WARNS, so the omission is loud — when the
+    oracle sf dir is absent; the Spark side makes the identical check and
+    drops the ivf_kmeans arm in lockstep."""
     path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
     if not os.path.exists(path):
+        import warnings
+
+        warnings.warn(
+            f"ann ivf_kmeans oracle literals unavailable: {path} missing — "
+            "the ivf_kmeans variant is omitted from ann_topk_variants on "
+            "BOTH sides (set SPARK_GRAFT_ORACLE_SF_DIR to the sf dir the "
+            "driver evaluates oracles against)",
+            stacklevel=2,
+        )
         return None
     import numpy as np
     import pyarrow.parquet as pq
@@ -474,30 +490,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return words.groupBy("doc_id").agg(*aggs)
     q["minhash_signature"] = minhash_signature
 
-    # text-analysis — token counting
-    def token_count(spark, sf):
-        d = _t(spark, sf, "documents")
-        return d.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        )
-    q["token_count"] = token_count
-
-    # text-analysis — BPE-ish regex tokenizer count (the second half of the
-    # "whitespace + BPE-ish regex" token-counting pair): letter runs,
-    # single digits (BPE-style digit splitting), punctuation runs. Plain
-    # character classes only — the pattern means the same thing to Java
-    # regex (Spark) and RE2 (DuckDB oracle).
-    def token_count_bpe(spark, sf):
+    # text-analysis — token counting, BOTH tokenizers in one frame
+    # (whitespace + BPE-ish regex: letter runs, single digits — BPE-style
+    # digit splitting — and punctuation runs; plain character classes only,
+    # so the pattern means the same thing to Java regex and RE2/DuckDB).
+    # Merged from the r1-r5 token_count/token_count_bpe twin entries so the
+    # catalog fits the driver's 50-entry correctness window (VERDICT r5 #1).
+    def token_counts(spark, sf):
         d = _t(spark, sf, "documents")
         pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
         return d.select(
             "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
             F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
             .cast("long")
             .alias("n_bpe_tokens"),
         )
-    q["token_count_bpe"] = token_count_bpe
+    q["token_counts"] = token_counts
 
     # text-analysis — C4-style composite quality FILTER (keep decision +
     # per-signal booleans): token-count window, mean-token-length window,
@@ -564,8 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["repetition_signals"] = repetition_signals
 
-    # text-analysis — quality scoring (length / avg token len / stopword hits)
-    def quality_score(spark, sf):
+    # text-analysis — ONE per-doc stats frame (VERDICT r5 #1 window
+    # consolidation of the r1-r5 quality_score / lang_id_heuristic /
+    # doc_fingerprint triplet): quality signals (length / avg token len /
+    # stopword hits), script-range language ID beside the fixture label
+    # (the confusion matrix is a trivial rollup of these columns), and the
+    # lowercase-md5 document fingerprint.
+    def doc_stats(spark, sf):
         d = _t(spark, sf, "documents")
         n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
         n_chars = F.length(F.col("text")).cast("long")
@@ -576,6 +590,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             / 5
         )
+        pred = (
+            F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
+            .when(F.col("text").rlike("[぀-ヿ]"), F.lit("ja"))
+            .when(F.col("text").rlike("[À-ÿ]"), F.lit("de"))
+            .otherwise(F.lit("en"))
+        )
         return d.select(
             "doc_id",
             n_chars.alias("n_chars"),
@@ -583,32 +603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor(n_chars * 100 / n_tokens).alias("avg_token_len_x100"),
             stop_hits.alias("stop_hits"),
             ((n_chars >= 100) & (n_chars <= 2000)).alias("len_ok"),
+            pred.alias("pred_lang"),
+            "lang",
+            F.md5(F.lower(F.col("text")).cast("binary")).alias("fp"),
         )
-    q["quality_score"] = quality_score
-
-    # text-analysis — n-gram-heuristic language ID (script-range detector)
-    def lang_id_heuristic(spark, sf):
-        d = _t(spark, sf, "documents")
-        pred = (
-            F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
-            .when(F.col("text").rlike("[぀-ヿ]"), F.lit("ja"))
-            .when(F.col("text").rlike("[À-ÿ]"), F.lit("de"))
-            .otherwise(F.lit("en"))
-        )
-        return (
-            d.select("doc_id", pred.alias("pred_lang"), "lang")
-            .groupBy("pred_lang", "lang")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-    q["lang_id_heuristic"] = lang_id_heuristic
-
-    # text-analysis — document fingerprint
-    def doc_fingerprint(spark, sf):
-        d = _t(spark, sf, "documents")
-        return d.select(
-            "doc_id", F.md5(F.lower(F.col("text")).cast("binary")).alias("fp")
-        )
-    q["doc_fingerprint"] = doc_fingerprint
+    q["doc_stats"] = doc_stats
 
     # dedup-simhash — 16-bit SimHash, all JVM/SQL expressions (md5 hex digits
     # → ±1 lane sums → sign-packed int); full 64-bit version in
@@ -677,7 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("jaccard") >= 0.05)
         )
-    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs_sql
+    # registered below as one merged entry (exact + dfcap variants)
 
     # dedup-ngram-jaccard with the DF cap (the web-scale configuration):
     # shingles in > max_doc_freq docs are dropped before the self-join, so
@@ -733,28 +732,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("jaccard") >= 0.05)
         )
-    q["ngram_jaccard_dfcap"] = ngram_jaccard_dfcap
+    # one entry, both configurations (VERDICT r5 #1 window consolidation):
+    # the exact all-pairs run and the DF-capped web-scale run, stacked with
+    # a variant discriminator — same oracle technique, half the window cost
+    def ngram_jaccard_variants(spark, sf):
+        exact = ngram_jaccard_pairs_sql(spark, sf)
+        capped = ngram_jaccard_dfcap(spark, sf)
+        return exact.select(
+            F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
+        ).unionByName(
+            capped.select(
+                F.lit("dfcap").alias("variant"), "id_a", "id_b", "jaccard"
+            )
+        )
+    q["ngram_jaccard_variants"] = ngram_jaccard_variants
 
     # dedup CLUSTERING — the step after pair generation: transitive
     # near-dup components (min-label propagation) under a DuckDB
     # recursive-CTE reachability oracle; component = min reachable id
+    # BOTH algorithms in one frame (VERDICT r5 #1 window consolidation):
+    # min-label propagation AND the adversarial-graph large-star/small-star
+    # variant, inner-joined on id. The oracle emits the recursive-CTE
+    # component twice, so the driver's value hash simultaneously checks
+    # each algorithm against ground truth AND the two against each other.
     def near_dup_clusters(spark, sf):
         from colymer_acquirers_spark.operators.dedup import near_dup_components
 
-        return near_dup_components(ngram_jaccard_pairs_sql(spark, sf))
-    q["near_dup_clusters"] = near_dup_clusters
-
-    # same components, adversarial-graph algorithm (large-star/small-star,
-    # O(log n) rounds): identical output by construction, so it shares the
-    # recursive-CTE oracle shape — this puts the star variant under the
-    # driver's value-hash gate, not just pytest
-    def near_dup_clusters_star(spark, sf):
-        from colymer_acquirers_spark.operators.dedup import near_dup_components
-
-        return near_dup_components(
-            ngram_jaccard_pairs_sql(spark, sf), method="star"
+        pairs = ngram_jaccard_pairs_sql(spark, sf)
+        label = near_dup_components(pairs)
+        star = near_dup_components(pairs, method="star").select(
+            F.col("id"), F.col("component").alias("component_star")
         )
-    q["near_dup_clusters_star"] = near_dup_clusters_star
+        return label.join(star, "id")
+    q["near_dup_clusters"] = near_dup_clusters
 
     # dedup FILTER — keep one representative (min id) per near-dup cluster,
     # pass unpaired docs through untouched
@@ -767,28 +777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = ngram_jaccard_pairs_sql(spark, sf)
         return dedup_keep_representatives(d, pairs, "doc_id")
     q["near_dup_dedup_filter"] = near_dup_dedup_filter
-
-    # IVF with FIXED literal centroids (seeded constants — no data
-    # dependence), so the whole IVF pipeline (assign → probe-3-cells →
-    # exact cosine) runs under the driver's oracle gate; the production
-    # kmeans-centroid variant stays rows-only (driver-side Lloyd)
-    def ann_ivf_topk_fixed(spark, sf):
-        import numpy as np
-
-        from colymer_acquirers_spark.operators.similarity import (
-            ann_cosine_topk_ivf,
-        )
-
-        e = _t(spark, sf, "embeddings")
-        qv = [
-            float(x)
-            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
-        ]
-        cents = np.random.RandomState(7).randn(8, 64).tolist()
-        return ann_cosine_topk_ivf(
-            e, qv, k=10, n_probe=3, centroids=cents
-        ).select("vec_id")
-    q["ann_ivf_topk_fixed"] = ann_ivf_topk_fixed
 
     # corpus-selection ops (training-data pipeline): deterministic hash
     # splits, per-language stratified quotas, benchmark decontamination —
@@ -1050,16 +1038,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["embedding_near_dup_pairs"] = embedding_near_dup_pairs
 
-    # similarity-search — brute-force cosine top-k (double-precision,
-    # left-to-right fold on both engines)
-    def ann_cosine_topk(spark, sf):
+    # similarity-search — ALL FOUR top-k strategies in one frame (VERDICT
+    # r5 #1 window consolidation of ann_cosine_topk / ann_lsh_topk /
+    # ann_ivf_topk_fixed / ann_ivf_topk, the last two of which had never
+    # earned a driver row): brute-force cosine (the baseline), signed-
+    # random-projection LSH with radius-1 probes, IVF with fixed literal
+    # centroids, and IVF over the PRODUCTION kmeans path (its oracle bakes
+    # centroids recomputed bit-for-bit outside Spark — see
+    # _ivf_kmeans_cents_oracle). Each variant keeps its r1-r5 semantics
+    # verbatim; the id-only projection makes every ranking float-safe (the
+    # oracle re-ranks with its own float summation).
+    def ann_topk_variants(spark, sf):
+        import numpy as np
+
+        from colymer_acquirers_spark.operators.similarity import (
+            ann_cosine_topk_ivf,
+            ann_cosine_topk_lsh,
+        )
+
         e = _t(spark, sf, "embeddings")
-        qv = e.filter(F.col("vec_id") == 0).select(
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        qcol = e.filter(F.col("vec_id") == 0).select(
             F.col("embedding").cast("array<double>").alias("qe")
         )
         j = e.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("ve")
-        ).crossJoin(F.broadcast(qv))
+        ).crossJoin(F.broadcast(qcol))
 
         def dot(a, b):
             return F.aggregate(
@@ -1071,14 +1078,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim = dot(F.col("ve"), F.col("qe")) / (
             F.sqrt(dot(F.col("ve"), F.col("ve"))) * F.sqrt(dot(F.col("qe"), F.col("qe")))
         )
-        return (
+        brute = (
             j.select("vec_id", sim.alias("sim"))
             .filter(F.col("vec_id") != 0)
             .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
             .limit(10)
             .select("vec_id")
         )
-    q["ann_cosine_topk"] = ann_cosine_topk
+        parts = [
+            ("brute", brute),
+            (
+                "lsh",
+                ann_cosine_topk_lsh(
+                    e, qv, dim=len(qv), k=10, n_planes=8
+                ).select("vec_id"),
+            ),
+            (
+                "ivf_fixed",
+                ann_cosine_topk_ivf(
+                    e,
+                    qv,
+                    k=10,
+                    n_probe=3,
+                    centroids=np.random.RandomState(7).randn(8, 64).tolist(),
+                ).select("vec_id"),
+            ),
+        ]
+        # the kmeans variant is paired with literals recomputed from the
+        # driver's oracle sf — both sides make the same deterministic
+        # availability check, so query and oracle stay in lockstep
+        if _ivf_kmeans_cents_oracle() is not None:
+            parts.append(
+                (
+                    "ivf_kmeans",
+                    ann_cosine_topk_ivf(
+                        e, qv, k=10, n_centroids=8, n_probe=3
+                    ).select("vec_id"),
+                )
+            )
+        out = None
+        for name, df in parts:
+            piece = df.select(F.lit(name).alias("variant"), "vec_id")
+            out = piece if out is None else out.unionByName(piece)
+        return out
+    q["ann_topk_variants"] = ann_topk_variants
 
     return q
 
@@ -1126,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         _md5l(f"w || '#{j}'").join(["MIN(", f") AS sig{j}"]) for j in range(16)
     )
 
-    def _mh_banded(bands: int) -> str:
+    def _mh_banded(bands: int, src: str = "sigs") -> str:
         """Unpivot the 16 sigs into ``bands`` (band_idx, band_key) rows —
         band_key is the same md5-family hash of the band's sig values the
         engine computes (minhash_lsh_pairs), so collisions even agree."""
@@ -1139,7 +1182,7 @@ def oracle_sql() -> dict[str, str]:
                 + ")"
             )
             selects.append(
-                f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sigs"
+                f"SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM {src}"
             )
         return " UNION ALL ".join(selects)
 
@@ -1338,7 +1381,9 @@ def oracle_sql() -> dict[str, str]:
             for r in range(rounds)
         )
         parts.append(f"af AS ({fetched_all})")
-        return "WITH " + ",\n".join(parts)
+        # RECURSIVE is harmless for the non-recursive crawl CTEs and lets
+        # consumers (corpus_pipeline) append a recursive reachability CTE
+        return "WITH RECURSIVE " + ",\n".join(parts)
 
     _crawl3 = _crawl_ctes(3)
     _order_union = " UNION ALL ".join(f"SELECT * FROM o{r}" for r in range(3))
@@ -1529,11 +1574,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY doc_id
         """,
-        "token_count": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
-        """,
-        "token_count_bpe": """
-            SELECT doc_id,
+        "token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+'))
                      AS n_bpe_tokens
             FROM documents
@@ -1557,25 +1599,20 @@ def oracle_sql() -> dict[str, str]:
                      AND (n_symbols * 10 <= n_chars) AS kept
             FROM m
         """,
-        "quality_score": """
+        "doc_stats": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    len(string_split(text, ' ')) AS n_tokens,
                    CAST(floor(length(text) * 100 / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_x100,
                    CAST(floor((length(text) - length(replace(text, ' the ', ''))) / 5) AS BIGINT) AS stop_hits,
-                   length(text) BETWEEN 100 AND 2000 AS len_ok
-            FROM documents
-        """,
-        "lang_id_heuristic": """
-            SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   length(text) BETWEEN 100 AND 2000 AS len_ok,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
                         WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
                         WHEN regexp_matches(text, '[À-ÿ]') THEN 'de'
                         ELSE 'en' END AS pred_lang,
-                   lang, COUNT(*) AS n
-            FROM documents GROUP BY 1, 2
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+                   lang,
+                   md5(lower(text)) AS fp
+            FROM documents
         """,
         "simhash16": f"""
             WITH words AS (
@@ -1584,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, {_lanes_sql} FROM words GROUP BY doc_id)
             SELECT doc_id, CAST({_pack_sql} AS BIGINT) AS simhash16 FROM lanes
         """,
-        "ngram_jaccard_pairs": """
+        "ngram_jaccard_variants": """
             WITH sh AS (
               SELECT DISTINCT doc_id,
                      unnest(list_transform(range(1, len(w) - 1),
@@ -1595,30 +1632,22 @@ def oracle_sql() -> dict[str, str]:
             ix AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
-            FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
-        """,
-        "ngram_jaccard_dfcap": """
-            WITH sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_transform(range(1, len(w) - 1),
-                            i -> array_to_string(w[i:i+2], ' '))) AS sh
-              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                    WHERE len(string_split(text, ' ')) >= 3)),
-            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+              GROUP BY 1, 2),
             rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
                      WHERE df <= 8),
             capped AS (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)),
-            ix AS (
+            ixc AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
               FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
-            SELECT id_a, id_b,
+            SELECT 'exact' AS variant, id_a, id_b,
                    inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
             FROM ix JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+            WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
+            UNION ALL
+            SELECT 'dfcap' AS variant, id_a, id_b,
+                   inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+            FROM ixc JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
             WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.05
         """,
         "repetition_signals": """
@@ -1700,7 +1729,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT a, b FROM edges
               UNION
               SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
-            SELECT id, LEAST(id, MIN(r)) AS component FROM reach GROUP BY id
+            -- emitted twice: the merged entry returns label-propagation's
+            -- component AND the large/small-star variant's, so one hash
+            -- checks both algorithms against truth and against each other
+            SELECT id, LEAST(id, MIN(r)) AS component,
+                   LEAST(id, MIN(r)) AS component_star
+            FROM reach GROUP BY id
         """,
         "near_dup_dedup_filter": """
             WITH RECURSIVE sh AS (
@@ -1824,16 +1858,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE {dot.format(a='a.v', b='b.v')}
                   / (sqrt({dot.format(a='a.v', b='a.v')}) * sqrt({dot.format(a='b.v', b='b.v')})) > 0.3
         """,
-        "ann_cosine_topk": f"""
-            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-            sims AS (
-              SELECT vec_id,
-                     {dot.format(a='embedding::DOUBLE[]', b='qe')}
-                     / (sqrt({dot.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')})
-                        * sqrt({dot.format(a='qe', b='qe')})) AS sim
-              FROM embeddings, q WHERE vec_id != 0)
-            SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
-        """,
         "embedding_near_dup_lsh_pairs": f"""
             WITH b AS ({_nd_tables_sql}),
             pairs AS (
@@ -1849,7 +1873,6 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt({dot.format(a='ea.v', b='ea.v')})
                      * sqrt({dot.format(a='eb.v', b='eb.v')})) >= 0.3
         """,
-        "ann_ivf_topk_fixed": _ivf_sql(_ivf_cents, n_probe=3, k=10),
         "dataset_split_counts": f"""
             WITH b AS (
               SELECT lang,
@@ -2006,7 +2029,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE session_end < host_last
                OR session_end + INTERVAL 30 MINUTE < w
         """,
-        "ann_lsh_topk": f"""
+    }
+    # ann_topk_variants: the four top-k strategies stacked under one
+    # variant discriminator (same ranking surfaces as the r1-r5 standalone
+    # entries). The kmeans arm appears only when its centroid literals are
+    # recomputable from the oracle sf dir — the Spark side makes the same
+    # deterministic check, so the two stay in lockstep.
+    _ann_brute = f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT vec_id,
+                     {dot.format(a='embedding::DOUBLE[]', b='qe')}
+                     / (sqrt({dot.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')})
+                        * sqrt({dot.format(a='qe', b='qe')})) AS sim
+              FROM embeddings, q WHERE vec_id != 0)
+            SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+    _ann_lsh = f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
                        WHERE vec_id = 0),
             qb AS (SELECT {_bucket_of('qe')} AS qk FROM q),
@@ -2024,11 +2063,21 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt({dot.format(a='qe', b='qe')})) AS sim
               FROM cand, q)
             SELECT vec_id FROM sims ORDER BY sim DESC, vec_id ASC LIMIT 10
-        """,
-    }
-    # the star-method entry produces identical components by construction,
-    # so it shares the recursive-CTE oracle verbatim
-    out["near_dup_clusters_star"] = out["near_dup_clusters"]
+    """
+    _ann_parts = [
+        ("brute", _ann_brute),
+        ("lsh", _ann_lsh),
+        ("ivf_fixed", _ivf_sql(_ivf_cents, n_probe=3, k=10)),
+    ]
+    _km = _ivf_kmeans_cents_oracle()
+    if _km is not None:
+        _ann_parts.append(
+            ("ivf_kmeans", _ivf_sql([list(c) for c in _km], n_probe=3, k=10))
+        )
+    out["ann_topk_variants"] = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, vec_id FROM ({sql})"
+        for name, sql in _ann_parts
+    )
     # flagship crawl family: the unrolled-rounds CTE prefix feeds three
     # oracles — the crawl ordering itself (the north_rule invariant), the
     # full article envelope, and the attachments→media-features pipeline
@@ -2047,13 +2096,82 @@ def oracle_sql() -> dict[str, str]:
     )
     out["flagship_crawl_articles"] = f"{_crawl3}\n{_articles_select}"
     out["crawl_attachments_pipeline"] = f"{_crawl3}{_attachments_select}"
+    # corpus_pipeline: the composed training-data product — unrolled crawl
+    # CTEs feed line-dedup cleaning CTEs, minhash banded-LSH + exact-
+    # Jaccard verification over the CLEANED text, recursive-reachability
+    # components, representative keep, and the hash-split mirror, all as
+    # one SQL statement hashed by the driver.
+    _split_bk = _md5l("CAST(doc_id AS VARCHAR) || '#split'") + " % 100"
+    out["corpus_pipeline"] = f"""
+        {_crawl3},
+        cdoc AS (
+          SELECT a.doc_id, a.url, a.round,
+                 'Doc ' || CAST(d.doc_id AS VARCHAR) || ' ' || d.text
+                   || ' [0] [1]' AS content
+          FROM af a JOIN documents d ON d.doc_id = a.doc_id),
+        clined AS (
+          SELECT doc_id, url, round,
+                 list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+                     i -> array_to_string(list_slice(toks, i*3 + 1, i*3 + 3),
+                                          ' ')) AS lines
+          FROM (SELECT doc_id, url, round,
+                       string_split(content, ' ') AS toks FROM cdoc)),
+        cln AS (SELECT doc_id, unnest(lines) AS line,
+                       unnest(range(1, len(lines) + 1)) AS pos
+                FROM clined),
+        cfreq AS (SELECT line FROM cln GROUP BY line
+                  HAVING COUNT(DISTINCT doc_id) >= 3),
+        ckept AS (SELECT doc_id, pos, line FROM cln
+                  WHERE line NOT IN (SELECT line FROM cfreq)),
+        cre AS (SELECT doc_id,
+                       string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                       COUNT(*) AS n_kept
+                FROM ckept GROUP BY doc_id),
+        cstat AS (
+          SELECT l.doc_id, l.url, l.round,
+                 COALESCE(cre.text_clean, '') AS text_clean,
+                 CAST(len(l.lines) - COALESCE(cre.n_kept, 0) AS INT)
+                   AS n_lines_removed
+          FROM clined l LEFT JOIN cre ON cre.doc_id = l.doc_id),
+        cw AS (SELECT doc_id, unnest(string_split(text_clean, ' ')) AS w
+               FROM cstat),
+        csigs AS (SELECT doc_id, {_mh_sigs} FROM cw GROUP BY doc_id),
+        cband AS ({_mh_banded(4, 'csigs')}),
+        ccand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cband a JOIN cband b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        cws AS (SELECT doc_id, list_distinct(string_split(text_clean, ' '))
+                         AS ws
+                FROM cstat),
+        cpairs AS (
+          SELECT id_a, id_b
+          FROM ccand JOIN cws wa ON wa.doc_id = id_a
+                     JOIN cws wb ON wb.doc_id = id_b
+          WHERE {_jacc} >= 0.5),
+        cedges AS (SELECT id_a AS a, id_b AS b FROM cpairs
+                   UNION SELECT id_b, id_a FROM cpairs),
+        creach(id, r) AS (
+          SELECT a, b FROM cedges
+          UNION
+          SELECT creach.id, cedges.b
+          FROM creach JOIN cedges ON creach.r = cedges.a),
+        ccomp AS (SELECT id, LEAST(id, MIN(r)) AS component
+                  FROM creach GROUP BY id)
+        SELECT s.doc_id, s.url, s.round, s.n_lines_removed,
+               ccomp.component AS component,
+               (ccomp.id IS NULL OR ccomp.id = ccomp.component) AS kept,
+               CASE WHEN (ccomp.id IS NULL OR ccomp.id = ccomp.component)
+                    THEN CASE WHEN bk < 98 THEN 'train'
+                              WHEN bk < 99 THEN 'val'
+                              ELSE 'test' END
+               END AS split
+        FROM (SELECT *, {_split_bk} AS bk FROM cstat) s
+        LEFT JOIN ccomp ON ccomp.id = s.doc_id
+    """
     out["multimodal_image_features"] = _multimodal_values_sql()
     out["video_frame_sample"] = _frames_values_sql()
-    _km = _ivf_kmeans_cents_oracle()
-    if _km is not None:
-        out["ann_ivf_topk"] = _ivf_sql(
-            [list(c) for c in _km], n_probe=3, k=10
-        )
     return out
 
 
@@ -2067,9 +2185,34 @@ def oracle_sql() -> dict[str, str]:
 # crawl a cross-entry, cross-process cache: the articles, crawl_order and
 # attachments entries all read the same one crawl run instead of re-crawling
 # (VERDICT r4 #1 — the driver's correctness pass was cutting the expensive
-# tail entries). Bump _FLAGSHIP_CACHE_V whenever round semantics or the
-# frozen parse/envelope rules change.
-_FLAGSHIP_CACHE_V = "v5"
+# tail entries). The cache version is DERIVED from the bytes of every
+# module that determines the crawl's output (ADVICE r5: a hand-bumped
+# version string silently served stale outputs whenever someone changed
+# crawl/parse/envelope semantics and forgot the bump) — any semantic edit
+# now changes the key and forces a fresh crawl automatically.
+_CACHE_KEY_MODULES = (
+    "plans/crawl.py",
+    "plans/round.py",
+    "functions/parse.py",
+    "functions/parse_expr.py",
+    "functions/envelope.py",
+    "functions/envelope_expr.py",
+    "functions/canonical.py",
+    "sources/synth.py",
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _flagship_cache_v() -> str:
+    import hashlib
+    import os
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in _CACHE_KEY_MODULES:
+        with open(os.path.join(pkg, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:10]
 
 
 def flagship_workdir(sf_dir: str, max_rounds: int) -> str:
@@ -2077,7 +2220,7 @@ def flagship_workdir(sf_dir: str, max_rounds: int) -> str:
     import os
 
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}#{max_rounds}#{_FLAGSHIP_CACHE_V}".encode()
+        f"{os.path.realpath(sf_dir)}#{max_rounds}#{_flagship_cache_v()}".encode()
     ).hexdigest()[:10]
     d = os.path.join(
         tempfile.gettempdir(), "colymer_cache", f"flagship_{key}_{max_rounds}"
