@@ -24,9 +24,10 @@ ELOG = "/tmp/elog_audit"
 
 
 def run_crawl_with_elog() -> None:
+    import shutil
+
+    shutil.rmtree(ELOG, ignore_errors=True)
     os.makedirs(ELOG, exist_ok=True)
-    for f in os.listdir(ELOG):
-        os.unlink(os.path.join(ELOG, f))
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(CPUS),

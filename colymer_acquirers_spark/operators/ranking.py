@@ -83,14 +83,22 @@ def global_rank(
         info.persisted = None
         out = df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
         return (out, info) if return_info else out
-    offmap = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    # The offsets flow in as DATA (a tiny broadcast join on the partition
+    # id), not as a create_map of literals: inline literals made each
+    # round's generated source unique, defeating the codegen cache and
+    # re-triggering janino + C2 JIT work every round (see plans/round.py
+    # __round note). The join is a broadcast hash join on an int key
+    # against ≤ num_partitions rows — no extra shuffle, stable source.
+    offs_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        schema=f"{_PID} int, __rank_off long",
     )
     out = (
-        ranged.withColumn(
+        ranged.join(F.broadcast(offs_df), on=_PID)
+        .withColumn(
             rank_col,
-            (F.element_at(offmap, F.col(_PID)) + F.col(_RN) - 1).cast("long"),
+            (F.col("__rank_off") + F.col(_RN) - 1).cast("long"),
         )
-        .drop(_PID, _RN)
+        .drop(_PID, _RN, "__rank_off")
     )
     return (out, info) if return_info else out

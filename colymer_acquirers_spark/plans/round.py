@@ -145,7 +145,21 @@ def run_round(
     fetched, carryover = politeness_split(
         allowed, politeness, default_budget, persisted=extra_persisted
     )
-    fetched = fetched.persist()
+    # Attach the round number as DATA (1-row broadcast cross join), not as
+    # F.lit(rnd): an inline int literal lands in the generated Java source
+    # of every downstream codegen stage, so each round produced *distinct*
+    # source for the giant parse/envelope projection classes — a fresh
+    # janino compile plus fresh C2 JIT work per round per stage
+    # (thread-level audit: JIT compiler threads burned ~50% of all crawl
+    # JVM CPU, more than the executor tasks themselves). With the value
+    # flowing through a BoundReference the source is round-invariant and
+    # the codegen cache (sized in session.py) makes rounds 1..R compile
+    # nothing new — JIT cost becomes O(1) in the number of rounds, on a
+    # real cluster as on this box.
+    round_df = frontier.sparkSession.createDataFrame(
+        [(rnd,)], schema="__round int"
+    )
+    fetched = fetched.crossJoin(F.broadcast(round_df)).persist()
 
     # 4. deterministic global order (scalable rank, not a single window);
     # the fetched count falls out of the offset computation for free
@@ -156,7 +170,8 @@ def run_round(
     if rank_info.persisted is not None:
         extra_persisted.append(rank_info.persisted)
     crawl_order = ranked.select(
-        "rank", F.col("canonical_url").alias("url"), F.lit(rnd).alias("round")
+        "rank", F.col("canonical_url").alias("url"),
+        F.col("__round").alias("round"),
     )
     n_carryover = (
         n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
@@ -179,7 +194,7 @@ def run_round(
     #      pages pre-clustered on the key (keyed_pages) only the tiny url
     #      list actually moves.
     joined = (
-        fetched.select("canonical_url", "url", "priority", "depth")
+        fetched.select("canonical_url", "url", "priority", "depth", "__round")
         .hint("shuffle_hash")
         .join(
             pages_k.select("canonical_url", "html", "lang", "warc_ts"),
@@ -201,6 +216,7 @@ def run_round(
             "depth",
             "lang",
             "warc_ts",
+            "__round",
             parse_fn("html", "canonical_url").alias("p"),
             envelope_expr("html", "canonical_url").alias("env"),
         )
@@ -211,6 +227,7 @@ def run_round(
             "depth",
             "lang",
             "warc_ts",
+            "__round",
             F.col("p.content").alias("content"),
             F.col("p.title").alias("title"),
             F.col("p.links").alias("links"),
@@ -232,7 +249,7 @@ def run_round(
         F.col("env.author_name").alias("author_name"),
         F.coalesce(F.col("env.published"), F.col("warc_ts")).alias("time"),
         "lang",
-        F.lit(rnd).alias("round"),
+        F.col("__round").alias("round"),
         F.col("priority").cast("int").alias("priority"),
         F.col("depth").cast("int").alias("depth"),
         F.col("env.version").alias("version"),
@@ -281,7 +298,7 @@ def run_round(
     # attachments_new exactly once across the whole crawl (reference:
     # pin_ids map, twitter.py:13,135-139 → persisted round-to-round state)
     atts_new = (
-        articles.select(F.lit(rnd).alias("round"), F.explode("attachments").alias("a"))
+        articles.select("round", F.explode("attachments").alias("a"))
         .select(
             "round",
             F.col("a.id").alias("id"),
@@ -300,6 +317,7 @@ def run_round(
             F.col("canonical_url").alias("src_url"),
             "priority",
             "depth",
+            "__round",
             F.explode("links").alias("raw_url"),
         )
         .withColumn("dst_url", canonicalize_url("raw_url"))
@@ -307,7 +325,7 @@ def run_round(
         .persist()
     )
     lineage = links.select(
-        F.lit(rnd).alias("round"), "src_url", "dst_url"
+        F.col("__round").alias("round"), "src_url", "dst_url"
     ).dropDuplicates(["src_url", "dst_url"])
 
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
@@ -322,7 +340,7 @@ def run_round(
             F.col("raw_url").alias("url"),
             F.col("priority"),
             (F.col("depth") + 1).cast("int").alias("depth"),
-            F.lit(rnd + 1).cast("int").alias("discovered_round"),
+            (F.col("__round") + 1).cast("int").alias("discovered_round"),
         )
         .join(seen_now, on="canonical_url", how="left_anti")
     )

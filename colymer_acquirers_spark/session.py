@@ -51,6 +51,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The default 100-entry generated-code cache thrashes under the
+        # engine's plan volume (one crawl emits ~450 codegen units), and a
+        # cache miss costs janino compilation PLUS later C2 JIT of the new
+        # class — measured at ~50% of all crawl JVM CPU. Round plans are
+        # deliberately literal-free (plans/round.py __round, ranking.py
+        # offsets join) so identical source recurs every round; this cache
+        # size makes those recurrences free. Static conf: must be set at
+        # session creation.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # The engine controls ordering and overflow explicitly; ANSI's
         # throw-on-element_at/overflow semantics are disabled so plans
         # behave identically across Spark 3.x/4.x deployments.
