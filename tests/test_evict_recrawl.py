@@ -239,3 +239,36 @@ def test_double_evict_rewrite_is_staged(spark, tmp_path, monkeypatch):
     assert u1 in {g for g in got} or got  # prior evictions intact
     assert len(got) >= 1
     pages.unpersist()
+
+
+def test_flagship_recrawl_flow_crash_safety(spark):
+    """ADVICE r5 (medium): the crawl→evict→recrawl flow stages in a
+    scratch dir and renames atomically on success. A run that died
+    mid-flow leaves a partial ``.tmp`` (here: poisoned with junk) — the
+    rerun must discard it, rebuild from scratch, stamp ``_FLOW_DONE``,
+    and a second invocation must be a pure re-read with identical rows."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entrymod
+    from colymer_acquirers_spark import queries as _q
+
+    sf = "/root/testdata/sf0.001"
+    q = entrymod.queries()["flagship_recrawl"]
+    wd = _q.flagship_workdir(sf, 4) + "_recrawl"
+    shutil.rmtree(wd, ignore_errors=True)
+    tmp = wd + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "junk"), "w") as fh:
+        fh.write("partial state from a crashed run")
+
+    out1 = [tuple(r) for r in q(spark, sf).collect()]
+    assert out1, "recrawl surface must be non-empty"
+    assert os.path.exists(os.path.join(wd, "_FLOW_DONE"))
+    assert not os.path.exists(tmp), "staging dir must be renamed away"
+    assert not os.path.exists(os.path.join(wd, "junk")), (
+        "poisoned staging state must not survive into the published dir"
+    )
+
+    out2 = [tuple(r) for r in q(spark, sf).collect()]
+    assert out1 == out2
