@@ -1,6 +1,12 @@
-"""Task-concurrency timeline of a WARM crawl (2nd in one JVM) from the event log."""
+"""Task-concurrency timeline of a WARM crawl (2nd in one JVM) from the
+event log: how much wall time has ZERO running tasks (driver-only
+planning/commit gaps) vs full concurrency. Quantifies the Amdahl serial
+fraction behind the N->4N wall-efficiency cap (PLANS.md round-6 audit).
+
+Usage: python BENCH/gap_audit.py [cpus]
+"""
 import json, os, shutil, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 ELOG = "/tmp/elog_gap"
 shutil.rmtree(ELOG, ignore_errors=True); os.makedirs(ELOG)
