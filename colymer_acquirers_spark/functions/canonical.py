@@ -26,6 +26,8 @@ that carry a query string).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -107,8 +109,23 @@ def canonicalize_url(col: Column | str) -> Column:
     (tests/test_canonical_expr.py). This is the hottest key computation in
     the engine (every frontier row, every extracted link, every page), so it
     must not cross the JVM↔Python boundary.
+
+    String-keyed calls are memoized: Column objects are immutable unresolved
+    expression wrappers, so reusing one across plans/rounds is safe and
+    saves ~40 py4j round trips per construction (per-round driver plan-
+    construction time is a measured serial wall cost — BENCH/gap_audit.py).
     """
-    u = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return _canonicalize_url_cached(col)
+    return _canonicalize_url_build(col)
+
+
+@lru_cache(maxsize=64)
+def _canonicalize_url_cached(col: str) -> Column:
+    return _canonicalize_url_build(F.col(col))
+
+
+def _canonicalize_url_build(u: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
     host = F.lower(F.regexp_extract(u, _URL_RE, 3))
     port = F.regexp_extract(u, _URL_RE, 4)
@@ -135,8 +152,14 @@ def canonicalize_url(col: Column | str) -> Column:
 
 def host_of(col: Column | str) -> Column:
     """Spark column: host[:port] of a canonical URL column (JVM expr)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"^[a-z]+://([^/]*)", 1)
+    if isinstance(col, str):
+        return _host_of_cached(col)
+    return F.regexp_extract(col, r"^[a-z]+://([^/]*)", 1)
+
+
+@lru_cache(maxsize=64)
+def _host_of_cached(col: str) -> Column:
+    return F.regexp_extract(F.col(col), r"^[a-z]+://([^/]*)", 1)
 
 
 def shard_of(col: Column | str, n_shards: int) -> Column:

@@ -14,15 +14,28 @@ carryover branch reuses the same shuffle output.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PATH_RE = r"^[a-z]+://[^/]*(/.*)$"
 SORT_KEYS = ["priority", "depth", "canonical_url"]
 
+# Plan-invariant Column/WindowSpec fragments are memoized module-wide:
+# Column objects are immutable unresolved-expression wrappers, safe to reuse
+# across DataFrames and rounds. Rebuilding them each round cost hundreds of
+# py4j round trips of serial driver time per crawl round (the round-boundary
+# zero-task gaps in BENCH/gap_audit.py).
+
+
+@lru_cache(maxsize=8)
+def _path_expr(url_col: str):
+    return F.regexp_extract(F.col(url_col), PATH_RE, 1)
+
 
 def with_path(df: DataFrame, url_col: str = "canonical_url") -> DataFrame:
-    return df.withColumn("path", F.regexp_extract(F.col(url_col), PATH_RE, 1))
+    return df.withColumn("path", _path_expr(url_col))
 
 
 def budget_from_delay(
@@ -66,11 +79,36 @@ def robots_filter(
     broadcast hash join on host → per-row HOF verdict (filter + array_max
     over (len, allow) structs). No extra shuffle vs the deny-only version;
     whole plan stays map-side.
+
+    NOTE on metric counts: do NOT try to piggyback the blocked count as an
+    ``Observation`` on this node — it sits underneath the caller's cached
+    politeness chain, and when concurrent jobs co-materialize a cache via
+    block locking, each job's observation accumulator sees only the
+    partitions that job computed itself (a PARTIAL count). Observations are
+    only exact directly above a terminal action. Callers count the blocked
+    branch with a normal job against the cached ``candidates`` input.
+
+    ``robots`` may be pre-compiled with ``compile_robots`` (one
+    array<struct> row per host, column ``__rules``) — loop callers compile
+    once and reuse across rounds instead of rebuilding the groupBy plan
+    every round.
     """
     cand = with_path(candidates)
     if robots is None:
         return cand.drop("path"), cand.limit(0).drop("path")
-    rules_by_host = robots.groupBy("host").agg(
+    rules_by_host = robots if "__rules" in robots.columns else compile_robots(robots)
+    j = cand.join(F.broadcast(rules_by_host), on="host", how="left")
+    is_allowed, not_allowed = _robots_verdict_exprs()
+    drop = ["path", "__rules"]
+    allowed = j.filter(is_allowed).drop(*drop)
+    blocked = j.filter(not_allowed).drop(*drop)
+    return allowed, blocked
+
+
+def compile_robots(robots: DataFrame) -> DataFrame:
+    """Collapse a (host, path_prefix, allow) rules table to one
+    array<struct> row per host — the broadcast side of robots_filter."""
+    return robots.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 F.length("path_prefix").alias("len"),
@@ -79,7 +117,10 @@ def robots_filter(
             )
         ).alias("__rules")
     )
-    j = cand.join(F.broadcast(rules_by_host), on="host", how="left")
+
+
+@lru_cache(maxsize=1)
+def _robots_verdict_exprs():
     applicable = F.filter(
         F.col("__rules"), lambda r: F.col("path").startswith(r["prefix"])
     )
@@ -89,10 +130,7 @@ def robots_filter(
         | (F.size(applicable) == 0)
         | best["allow"]
     )
-    drop = ["path", "__rules"]
-    allowed = j.filter(is_allowed).drop(*drop)
-    blocked = j.filter(~is_allowed).drop(*drop)
-    return allowed, blocked
+    return is_allowed, ~is_allowed
 
 
 def politeness_split(
@@ -116,6 +154,7 @@ def politeness_split(
     survivors per host exactly. The fetched set is identical to the
     single-window result (exactness property of two-phase top-k).
     """
+    frag = _split_fragments(int(default_budget), int(skew_salt))
     if politeness is not None:
         j = allowed.join(
             F.broadcast(politeness.select("host", "max_fetch_per_round")),
@@ -123,37 +162,51 @@ def politeness_split(
             how="left",
         )
     else:
-        j = allowed.withColumn("max_fetch_per_round", F.lit(None).cast("int"))
-    b = F.coalesce(F.col("max_fetch_per_round"), F.lit(default_budget))
-    order = [F.col(k).asc() for k in SORT_KEYS]
-    j = j.withColumn("__b", b)
+        j = allowed.withColumn("max_fetch_per_round", frag["null_budget"])
+    j = j.withColumn("__b", frag["b"])
     drop_cols = ["__rn", "__b", "max_fetch_per_round", "__salt", "__lrn"]
 
     def _clean(df: DataFrame) -> DataFrame:
         return df.drop(*[c for c in drop_cols if c in df.columns])
 
     if skew_salt > 1:
-        j = j.withColumn(
-            "__salt", F.pmod(F.hash(F.col("canonical_url")), F.lit(skew_salt))
-        )
-        w1 = Window.partitionBy("host", "__salt").orderBy(*order)
-        j = j.withColumn("__lrn", F.row_number().over(w1))
-        survivors = j.filter(F.col("__lrn") <= F.col("__b"))
-        pruned = j.filter(F.col("__lrn") > F.col("__b"))
+        j = j.withColumn("__salt", frag["salt"])
+        j = j.withColumn("__lrn", frag["lrn"])
+        survivors = j.filter(frag["lrn_keep"])
+        pruned = j.filter(frag["lrn_prune"])
     else:
         survivors = j
         pruned = None
 
-    w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = survivors.withColumn("__rn", F.row_number().over(w2))
+    ranked = survivors.withColumn("__rn", frag["rn"])
     if persisted is not None:
         # both split halves derive from `ranked`; caching it makes the
         # join + two-window chain run once per round instead of once per
         # half (the caller owns the unpersist after its terminal actions)
         ranked = ranked.persist()
         persisted.append(ranked)
-    fetched = _clean(ranked.filter(F.col("__rn") <= F.col("__b")))
-    carryover = _clean(ranked.filter(F.col("__rn") > F.col("__b")))
+    fetched = _clean(ranked.filter(frag["rn_keep"]))
+    carryover = _clean(ranked.filter(frag["rn_carry"]))
     if pruned is not None:
         carryover = carryover.unionByName(_clean(pruned))
     return fetched, carryover
+
+
+@lru_cache(maxsize=8)
+def _split_fragments(default_budget: int, skew_salt: int) -> dict:
+    """Plan-invariant Column fragments of politeness_split, built once per
+    (default_budget, skew_salt) — see module note on py4j round trips."""
+    order = [F.col(k).asc() for k in SORT_KEYS]
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return {
+        "null_budget": F.lit(None).cast("int"),
+        "b": F.coalesce(F.col("max_fetch_per_round"), F.lit(default_budget)),
+        "salt": F.pmod(F.hash(F.col("canonical_url")), F.lit(skew_salt)),
+        "lrn": F.row_number().over(w1),
+        "lrn_keep": F.col("__lrn") <= F.col("__b"),
+        "lrn_prune": F.col("__lrn") > F.col("__b"),
+        "rn": F.row_number().over(w2),
+        "rn_keep": F.col("__rn") <= F.col("__b"),
+        "rn_carry": F.col("__rn") > F.col("__b"),
+    }

@@ -14,6 +14,8 @@ analog of the reference's checkpoint-after-every-page (``acquirer.py:71-74``).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,21 +80,24 @@ def merge_frontier(df: DataFrame) -> DataFrame:
     Lexicographic min over (priority, depth, url, discovered_round) — struct
     min in Spark matches Python tuple min for these types.
     """
-    return (
-        df.groupBy("canonical_url")
-        .agg(
-            F.min(
-                F.struct("priority", "depth", "url", "discovered_round")
-            ).alias("m")
-        )
-        .select(
-            "canonical_url",
-            F.col("m.url").alias("url"),
-            F.col("m.priority").alias("priority"),
-            F.col("m.depth").alias("depth"),
-            F.col("m.discovered_round").alias("discovered_round"),
-        )
+    agg, sel = _merge_fragments()
+    return df.groupBy("canonical_url").agg(agg).select("canonical_url", *sel)
+
+
+@lru_cache(maxsize=1)
+def _merge_fragments():
+    """Plan-invariant Column fragments (reused across rounds — py4j
+    round-trip economy, see BENCH/gap_audit.py round-boundary gaps)."""
+    agg = F.min(
+        F.struct("priority", "depth", "url", "discovered_round")
+    ).alias("m")
+    sel = (
+        F.col("m.url").alias("url"),
+        F.col("m.priority").alias("priority"),
+        F.col("m.depth").alias("depth"),
+        F.col("m.discovered_round").alias("discovered_round"),
     )
+    return agg, sel
 
 
 def compact_seen(seen_union: DataFrame) -> DataFrame:

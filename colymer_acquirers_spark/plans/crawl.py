@@ -24,7 +24,12 @@ from colymer_acquirers_spark import schemas
 from colymer_acquirers_spark.operators.seen import compact_seen
 from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
 from colymer_acquirers_spark.operators.seen_cuckoo import CuckooSeen
-from colymer_acquirers_spark.plans.round import bootstrap_frontier, keyed_pages, run_round
+from colymer_acquirers_spark.plans.round import (
+    _trace,
+    bootstrap_frontier,
+    keyed_pages,
+    run_round,
+)
 from colymer_acquirers_spark.sources.tables import (
     _replace_committed,
     read_table,
@@ -461,6 +466,13 @@ def run_crawl(
     # canonicalize once, reuse across rounds (at warehouse scale the pages
     # table stores canonical_url as a bucketed column instead — see README)
     pages_k = keyed_pages(pages).persist()
+    # compile the robots rules table once (one array<struct> row per host);
+    # every round broadcast-joins the same compiled frame instead of
+    # rebuilding the groupBy plan per round
+    if robots is not None:
+        from colymer_acquirers_spark.operators.politeness import compile_robots
+
+        robots = compile_robots(robots)
 
     done = committed_rounds(workdir) if resume else []
     if not resume and os.path.isdir(os.path.join(workdir, "rounds")):
@@ -572,6 +584,9 @@ def run_crawl(
             delta = bloom_filter.build_delta(delta_src)
             acc = delta if bloom is None else bloom_filter.merge(bloom.unionByName(delta))
             acc.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
+        import time as _time
+
+        _tb = _time.monotonic()
         frontier = spark.read.schema(schemas.FRONTIER).parquet(
             os.path.join(rd, "frontier_next")
         )
@@ -584,8 +599,10 @@ def run_crawl(
         with open(tmp, "w") as f:
             json.dump({"round": rnd, "rank_offset_next": rank_offset, "metrics": metrics}, f)
         os.replace(tmp, _manifest_path(workdir, rnd))
+        _tb = _trace(f"round{rnd} commit+reread", _tb)
         for df in rr.persisted:
             df.unpersist()
+        _trace(f"round{rnd} unpersist", _tb)
         # seen compaction every K committed rounds (reference analog: block
         # splicing, acquirer.py:46-58): rewrite base ∪ deltas into one
         # table so per-round seen reads stay O(compact_every), not O(R)

@@ -12,18 +12,37 @@ the whole frontier in bulk:
 Only two shuffles dominate: the anti-join on canonical_url and the window on
 host (the fetch-join reuses the canonical_url clustering under AQE).
 
-Driver-job economy: a round runs a fixed, small number of actions —
-1 (optional) candidates count, 1 (optional) robots count, the rank-offset
-collect, and one write per output with row counts piggybacked on
-``Observation`` — because on 10^3-round crawls the per-job fixed cost, not
-the data, is what dominates wall-clock at the small end.
+Driver-job economy: a round runs a fixed, small number of actions — one
+write per output plus the tiny rank-counts collect, ALL submitted to one
+thread pool so their planning/commit driver gaps overlap (round-6 gap audit:
+the serial driver-only share was ~8-9 s/crawl, core-count-independent, the
+Amdahl term behind the N→4N wall-efficiency cap); per-output row counts
+ride ``Observation``s directly above the writes, the optional metrics-only
+counts (candidates / robots-blocked) join the pool as cache-scan jobs, and
+the new-url distinct count runs on the calling thread concurrently — because
+on 10^3-round crawls the per-job fixed cost, not the data, is what dominates
+wall-clock at the small end.
 """
 
 from __future__ import annotations
 
 import os
+import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
+
+# SPARK_GRAFT_TRACE=1 → print driver-side phase timings (plan construction
+# vs pooled execution vs bookkeeping) per round; the knob behind the
+# round-boundary gap attribution in BENCH/gap_audit.py
+_TRACE = os.environ.get("SPARK_GRAFT_TRACE", "") == "1"
+
+
+def _trace(label: str, t0: float) -> float:
+    t1 = time.monotonic()
+    if _TRACE:
+        print(f"[trace] {label}: {(t1 - t0)*1000:.0f} ms", flush=True)
+    return t1
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -46,6 +65,91 @@ from colymer_acquirers_spark.operators.seen_bloom import BloomSeen
 from colymer_acquirers_spark.sources.tables import write_table
 
 SORT_KEYS = ["priority", "depth", "canonical_url"]
+
+
+@functools.lru_cache(maxsize=4)
+def _round_cols(parse_impl: str) -> dict:
+    """Plan-invariant Column fragments of a crawl round, built ONCE per
+    session per parse impl. Column objects are immutable unresolved-
+    expression wrappers, safe to reuse across DataFrames and rounds;
+    rebuilding them every round cost ~2,000 py4j round trips ≈ 1.3-1.8 s of
+    zero-running-task driver time per round — the round-boundary gaps in
+    BENCH/gap_audit.py and a core-count-independent Amdahl term at any
+    cluster size."""
+    parse_fn = parse_page_expr if parse_impl == "jvm" else parse_page
+    return {
+        "crawl_order": (
+            "rank",
+            F.col("canonical_url").alias("url"),
+            F.col("__round").alias("round"),
+        ),
+        "fetched_slim": ("canonical_url", "url", "priority", "depth", "__round"),
+        "pages_slim": ("canonical_url", "html", "lang", "warc_ts"),
+        "html_notnull": F.col("html").isNotNull(),
+        "parsed1": (
+            "canonical_url", "url", "priority", "depth", "lang", "warc_ts",
+            "__round",
+            parse_fn("html", "canonical_url").alias("p"),
+            envelope_expr("html", "canonical_url").alias("env"),
+        ),
+        "parsed2": (
+            "canonical_url", "url", "priority", "depth", "lang", "warc_ts",
+            "__round",
+            F.col("p.content").alias("content"),
+            F.col("p.title").alias("title"),
+            F.col("p.links").alias("links"),
+            "env",
+        ),
+        "articles": (
+            F.col("url"),
+            F.col("canonical_url"),
+            "title",
+            "content",
+            page_content_type_expr(F.col("canonical_url")).alias("content_type"),
+            F.col("env.author_id").alias("author_id"),
+            F.col("env.author_name").alias("author_name"),
+            F.coalesce(F.col("env.published"), F.col("warc_ts")).alias("time"),
+            "lang",
+            F.col("__round").alias("round"),
+            F.col("priority").cast("int").alias("priority"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("env.version").alias("version"),
+            F.col("env.original_data").alias("original_data"),
+            F.col("env.attachments").alias("attachments"),
+            F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
+        ),
+        "atts_explode": ("round", F.explode("attachments").alias("a")),
+        "atts_sel": (
+            "round",
+            F.col("a.id").alias("id"),
+            F.col("a.original_url").alias("original_url"),
+            F.col("a.content_type").alias("content_type"),
+            F.col("a.filename").alias("filename"),
+        ),
+        "atts_cols": ("round", "id", "original_url", "content_type", "filename"),
+        "links_sel": (
+            F.col("canonical_url").alias("src_url"),
+            "priority",
+            "depth",
+            "__round",
+            F.explode("links").alias("raw_url"),
+        ),
+        "dst_url": canonicalize_url("raw_url"),
+        "dst_notnull": F.col("dst_url").isNotNull(),
+        "lineage_sel": (F.col("__round").alias("round"), "src_url", "dst_url"),
+        "new_cands_sel": (
+            F.col("dst_url").alias("canonical_url"),
+            F.col("raw_url").alias("url"),
+            F.col("priority"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+            (F.col("__round") + 1).cast("int").alias("discovered_round"),
+        ),
+        "frontier_cols": (
+            "canonical_url", "url", "priority", "depth", "discovered_round",
+        ),
+        "host": host_of("canonical_url"),
+        "n": F.count(F.lit(1)).alias("n"),
+    }
 
 
 @dataclass
@@ -112,11 +216,22 @@ def run_round(
     metrics_full=False skips the metrics-only jobs (candidate/robots/new-url
     counts become -1); results are unchanged.
     """
+    _t = time.monotonic()
+    C = _round_cols(parse_impl)
     if n_frontier is None:
         n_frontier = frontier.count()
 
     # 1. dedup against seen: exact tier, optionally bloom-prefiltered
     # ('continue' mode), or the 'break' boundary variant (P9)
+    # Metric-only counts (candidates / robots-blocked / new-url) do NOT run
+    # here as eager jobs — each pre-write action serializes the whole
+    # upstream materialization into a driver-gap-ridden AQE job cascade
+    # (BENCH/gap_audit.py). They run as pooled jobs CONCURRENT with the
+    # output writes below, reading the same persisted frames (cache block
+    # locking keeps co-materialization exactly-once, and a count job is
+    # exact no matter which job computed the cache — unlike an Observation
+    # under a cache, whose accumulator would only see the partitions its
+    # own job computed).
     boundary_deferred = None
     n_deferred = 0
     extra_persisted: list[DataFrame] = []
@@ -134,11 +249,9 @@ def run_round(
         candidates = unseen.unionByName(dedup_against_seen(maybe, seen)).persist()
     else:
         candidates = dedup_against_seen(frontier, seen).persist()
-    n_candidates = candidates.count() if metrics_full else -1
 
     # 2. robots gate
     allowed, blocked = robots_filter(candidates, robots)
-    n_blocked = 0 if robots is None else (blocked.count() if metrics_full else -1)
 
     # 3. politeness budget split (ranked intermediate cached so the
     # join+window chain runs once, not once per split half)
@@ -161,21 +274,51 @@ def run_round(
     )
     fetched = fetched.crossJoin(F.broadcast(round_df)).persist()
 
-    # 4. deterministic global order (scalable rank, not a single window);
-    # the fetched count falls out of the offset computation for free
+    # 4. deterministic global order (scalable rank, not a single window).
+    # The rank offsets are a LAZY subplan (operators/ranking.py) — no
+    # driver action here; the fetched total + per-partition counts come
+    # from rank_info.resolve(), submitted to the write pool below so its
+    # one small job overlaps the output writes instead of serializing a
+    # ~14-job AQE cascade ahead of them (round-6 gap audit).
     ranked, rank_info = global_rank(
         fetched, SORT_KEYS, "rank", start=rank_offset, return_info=True
     )
-    n_fetched = rank_info.total
-    if rank_info.persisted is not None:
-        extra_persisted.append(rank_info.persisted)
-    crawl_order = ranked.select(
-        "rank", F.col("canonical_url").alias("url"),
-        F.col("__round").alias("round"),
-    )
-    n_carryover = (
-        n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
-    )
+    extra_persisted.append(rank_info.persisted)
+    crawl_order = ranked.select(*C["crawl_order"])
+
+    # All round outputs go through the Iceberg-shaped table layer (catalog
+    # tables in production; committed parquet dirs here) — the round
+    # manifest remains the round-level commit marker. Writes are submitted
+    # to ONE pool PROGRESSIVELY, each as soon as its frame is constructed:
+    # Spark interleaves their tasks (filling executor slots one sequential
+    # job would idle), each job's 0.6-0.9 s driver-only planning/commit gap
+    # hides behind the others' execution, and — the round-7 gap finding —
+    # the remaining py4j plan-construction time for the LATER outputs
+    # overlaps the EARLIER writes' execution instead of serializing ahead
+    # of all of them. Safe without phases: every shared intermediate
+    # (candidates, the politeness-ranked chain, fetched, the rank
+    # intermediate, parsed, links) is persisted, and Spark's block-level
+    # cache locking makes a concurrent consumer block on an in-progress
+    # partition instead of recomputing it — each cache partition is
+    # computed exactly once no matter which write job gets there first.
+    pool = ThreadPoolExecutor(max_workers=8)
+
+    def _write(df, name):
+        # job description is a thread-local Spark property: each pool
+        # thread tags its own write so event-log/UI stages attribute to
+        # the output they produce (observability at cluster scale; the
+        # BENCH/cpu_audit.py per-stage CPU audit keys off this)
+        df.sparkSession.sparkContext.setJobDescription(
+            f"round{rnd}:write:{name}"
+        )
+        write_table(df, os.path.join(out_dir, name), mode="overwrite")
+
+    fs = [
+        pool.submit(_write, crawl_order, "crawl_order"),
+        # the rank-offset counts collect: one small job over the (by then
+        # cached) rank intermediate, overlapped with the writes
+        pool.submit(rank_info.resolve),
+    ]
 
     # 5. seen delta (not written — identical to crawl_order's url column)
     seen_delta = fetched.select("canonical_url")
@@ -194,10 +337,10 @@ def run_round(
     #      pages pre-clustered on the key (keyed_pages) only the tiny url
     #      list actually moves.
     joined = (
-        fetched.select("canonical_url", "url", "priority", "depth", "__round")
+        fetched.select(*C["fetched_slim"])
         .hint("shuffle_hash")
         .join(
-            pages_k.select("canonical_url", "html", "lang", "warc_ts"),
+            pages_k.select(*C["pages_slim"]),
             on="canonical_url",
             how="left",
         )
@@ -206,127 +349,50 @@ def run_round(
     # by default; parse_impl='arrow' moves content/title/links to a single
     # Arrow round-trip while the envelope stays JVM-side); html is dropped
     # before the cache so it is never buffered twice
-    parse_fn = parse_page_expr if parse_impl == "jvm" else parse_page
     parsed = (
-        joined.filter(F.col("html").isNotNull())
-        .select(
-            "canonical_url",
-            "url",
-            "priority",
-            "depth",
-            "lang",
-            "warc_ts",
-            "__round",
-            parse_fn("html", "canonical_url").alias("p"),
-            envelope_expr("html", "canonical_url").alias("env"),
-        )
-        .select(
-            "canonical_url",
-            "url",
-            "priority",
-            "depth",
-            "lang",
-            "warc_ts",
-            "__round",
-            F.col("p.content").alias("content"),
-            F.col("p.title").alias("title"),
-            F.col("p.links").alias("links"),
-            "env",
-        )
+        joined.filter(C["html_notnull"])
+        .select(*C["parsed1"])
+        .select(*C["parsed2"])
         .persist()
     )
     # full article envelope (schemas.ARTICLES; reference envelope
     # weibo.py:215-231, twitter.py:86-103): author/time/content_type/
     # version/raw passthrough/attachments, FROZEN ENVELOPE RULES; crawl
     # provenance (priority, depth) as typed columns
-    articles = parsed.select(
-        F.col("url"),
-        F.col("canonical_url"),
-        "title",
-        "content",
-        page_content_type_expr(F.col("canonical_url")).alias("content_type"),
-        F.col("env.author_id").alias("author_id"),
-        F.col("env.author_name").alias("author_name"),
-        F.coalesce(F.col("env.published"), F.col("warc_ts")).alias("time"),
-        "lang",
-        F.col("__round").alias("round"),
-        F.col("priority").cast("int").alias("priority"),
-        F.col("depth").cast("int").alias("depth"),
-        F.col("env.version").alias("version"),
-        F.col("env.original_data").alias("original_data"),
-        F.col("env.attachments").alias("attachments"),
-        F.sha2(F.col("content").cast("binary"), 256).alias("text_sha256"),
-    )
-    # all round outputs go through the Iceberg-shaped table layer (catalog
-    # tables in production; committed parquet dirs here) — the round
-    # manifest remains the round-level commit marker. Independent writes
-    # run as CONCURRENT driver jobs in dependency phases (Spark interleaves
-    # their tasks, filling executor slots one sequential job would idle):
-    #   phase A: crawl_order (ranked cache) ∥ articles (materializes parsed)
-    #   phase B: attachments_new ∥ lineage ∥ frontier_next ∥ new-url count
-    # Phase B is ONE barrier (was two): lineage and frontier_next share the
-    # ``links`` cache, and Spark's block-level cache locking means the
-    # second job blocks on in-progress partitions instead of recomputing —
-    # so overlapping them is safe and hides frontier_next's planning gap
-    # (Catalyst on the merge-frontier tree) behind phase-B execution.
-    pool = ThreadPoolExecutor(max_workers=4)
-
-    def _write(df, name):
-        # job description is a thread-local Spark property: each pool
-        # thread tags its own write so event-log/UI stages attribute to
-        # the output they produce (observability at cluster scale; the
-        # BENCH/cpu_audit.py per-stage CPU audit keys off this)
-        df.sparkSession.sparkContext.setJobDescription(
-            f"round{rnd}:write:{name}"
-        )
-        write_table(df, os.path.join(out_dir, name), mode="overwrite")
-
+    articles = parsed.select(*C["articles"])
     obs_articles = Observation()
-    fa = pool.submit(_write, crawl_order, "crawl_order")
-    fb = pool.submit(
-        _write,
-        articles.observe(obs_articles, F.count(F.lit(1)).alias("n")),
-        "articles",
+    fs.append(
+        pool.submit(_write, articles.observe(obs_articles, C["n"]), "articles")
     )
-    fa.result()
-    fb.result()
-    n_parsed = obs_articles.get["n"]
-    n_miss = n_fetched - n_parsed
-
     # P7: pinned-entry-once state — each attachment (keyed by id = md5 of
     # its absolute url; all other columns are functions of the url) enters
     # attachments_new exactly once across the whole crawl (reference:
     # pin_ids map, twitter.py:13,135-139 → persisted round-to-round state)
     atts_new = (
-        articles.select("round", F.explode("attachments").alias("a"))
-        .select(
-            "round",
-            F.col("a.id").alias("id"),
-            F.col("a.original_url").alias("original_url"),
-            F.col("a.content_type").alias("content_type"),
-            F.col("a.filename").alias("filename"),
-        )
+        articles.select(*C["atts_explode"])
+        .select(*C["atts_sel"])
         .dropDuplicates(["id"])
     )
     if pinned_prior is not None:
         atts_new = atts_new.join(
             pinned_prior.select("id"), on="id", how="left_anti"
-        ).select("round", "id", "original_url", "content_type", "filename")
-    links = (
-        parsed.select(
-            F.col("canonical_url").alias("src_url"),
-            "priority",
-            "depth",
-            "__round",
-            F.explode("links").alias("raw_url"),
+        ).select(*C["atts_cols"])
+    obs_atts = Observation()
+    fs.append(
+        pool.submit(
+            _write, atts_new.observe(obs_atts, C["n"]), "attachments_new"
         )
-        .withColumn("dst_url", canonicalize_url("raw_url"))
-        .filter(F.col("dst_url").isNotNull())
+    )
+    links = (
+        parsed.select(*C["links_sel"])
+        .withColumn("dst_url", C["dst_url"])
+        .filter(C["dst_notnull"])
         .persist()
     )
-    lineage = links.select(
-        F.col("__round").alias("round"), "src_url", "dst_url"
-    ).dropDuplicates(["src_url", "dst_url"])
+    lineage = links.select(*C["lineage_sel"]).dropDuplicates(
+        ["src_url", "dst_url"]
+    )
+    fs.append(pool.submit(_write, lineage, "lineage"))
 
     # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
     seen_now = (
@@ -334,51 +400,52 @@ def run_round(
         if seen is not None
         else seen_delta
     )
-    new_cands = (
-        links.select(
-            F.col("dst_url").alias("canonical_url"),
-            F.col("raw_url").alias("url"),
-            F.col("priority"),
-            (F.col("depth") + 1).cast("int").alias("depth"),
-            (F.col("__round") + 1).cast("int").alias("discovered_round"),
-        )
-        .join(seen_now, on="canonical_url", how="left_anti")
+    new_cands = links.select(*C["new_cands_sel"]).join(
+        seen_now, on="canonical_url", how="left_anti"
     )
 
     # 9. merge next frontier (boundary-deferred rows re-enter unchanged)
-    nxt = carryover.select(
-        "canonical_url", "url", "priority", "depth", "discovered_round"
-    ).unionByName(new_cands)
+    nxt = carryover.select(*C["frontier_cols"]).unionByName(new_cands)
     if boundary_deferred is not None:
-        nxt = nxt.unionByName(
-            boundary_deferred.select(
-                "canonical_url", "url", "priority", "depth", "discovered_round"
-            )
-        )
-    frontier_next = merge_frontier(nxt).withColumn("host", host_of("canonical_url"))
-
-    obs_atts = Observation()
+        nxt = nxt.unionByName(boundary_deferred.select(*C["frontier_cols"]))
+    frontier_next = merge_frontier(nxt).withColumn("host", C["host"])
     obs_frontier = Observation()
-    fs = [
+    fs.append(
         pool.submit(
             _write,
-            atts_new.observe(obs_atts, F.count(F.lit(1)).alias("n")),
-            "attachments_new",
-        ),
-        pool.submit(_write, lineage, "lineage"),
-        pool.submit(
-            _write,
-            frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")),
+            frontier_next.observe(obs_frontier, C["n"]),
             "frontier_next",
-        ),
-    ]
+        )
+    )
+    _t = _trace(f"round{rnd} plan-construct+submit", _t)
+
+    # metric-only count jobs join the same barrier: they read the persisted
+    # frames the writes are materializing anyway, so they cost cache scans,
+    # not recomputation, and their driver gaps hide behind the writes
+    f_cand = pool.submit(candidates.count) if metrics_full else None
+    f_blocked = (
+        pool.submit(blocked.count)
+        if (metrics_full and robots is not None)
+        else None
+    )
     n_new = (
         new_cands.select("canonical_url").distinct().count() if metrics_full else -1
     )
     for f in fs:
         f.result()
-    n_new_atts = obs_atts.get["n"]
     pool.shutdown(wait=True)
+    _t = _trace(f"round{rnd} pooled-writes", _t)
+    n_fetched = rank_info.total
+    n_parsed = obs_articles.get["n"]
+    n_miss = n_fetched - n_parsed
+    n_new_atts = obs_atts.get["n"]
+    n_candidates = f_cand.result() if metrics_full else -1
+    n_blocked = (
+        0 if robots is None else (f_blocked.result() if metrics_full else -1)
+    )
+    n_carryover = (
+        n_candidates - max(n_blocked, 0) - n_fetched if metrics_full else -1
+    )
 
     metrics = {
         "round": rnd,
@@ -398,6 +465,7 @@ def run_round(
             str(k): v for k, v in rank_info.partition_counts.items()
         },
     }
+    _trace(f"round{rnd} metrics-gather", _t)
     return RoundResult(
         seen_delta=seen_delta,
         metrics=metrics,
