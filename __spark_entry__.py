@@ -143,9 +143,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wd = _q.flagship_workdir(sf, 4) + "_recrawl"
         done = os.path.join(wd, "_FLOW_DONE")
         if not os.path.exists(done):
-            tmp = wd + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.makedirs(tmp)
+            # UNIQUE staging dir, not a fixed `wd + ".tmp"` (ADVICE r6):
+            # two concurrent evaluators (pytest worker + driver) racing on
+            # one fixed tmp path could rmtree each other's half-built
+            # staging or rename a partial flow into place. mkdtemp gives
+            # each process its own staging; the publish step below
+            # re-checks the marker and tolerates losing the race.
+            import tempfile
+
+            tmp = tempfile.mkdtemp(
+                prefix=os.path.basename(wd) + ".stage_",
+                dir=os.path.dirname(wd),
+            )
             pages = _q.pages_from_documents(spark, sf)
             seeds = pages.orderBy("url").limit(5).select(
                 "url", F.lit(0).cast("int").alias("priority")
@@ -163,8 +172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             assert len(committed_rounds(tmp)) == 4
             with open(os.path.join(tmp, "_FLOW_DONE"), "w") as fh:
                 fh.write("ok\n")
-            shutil.rmtree(wd, ignore_errors=True)
-            os.rename(tmp, wd)
+            try:
+                shutil.rmtree(wd, ignore_errors=True)
+                os.rename(tmp, wd)
+            except OSError:
+                # lost the publish race: another evaluator republished wd
+                # between our rmtree and rename. If its flow is complete,
+                # read that one (flows are deterministic — identical
+                # content); otherwise surface the original failure.
+                if not os.path.exists(done):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
         return (
             read_output(spark, wd, "crawl_order")
             .select("rank", "url", "round")

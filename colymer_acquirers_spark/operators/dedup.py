@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
+
 
 def _md5_long(col) -> F.Column:
     """First 15 hex chars of md5 → int64 (portable hash family)."""
@@ -127,14 +129,21 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band_idx", "bk.band_key")
     if bucket_cap is None and hot_bucket_warn is not None:
-        # checkpoint BEFORE the width pin: the diagnostic aggregation and
-        # the self-join share the materialized shingle→minhash lineage,
-        # and the pin is applied on top afterwards — a checkpoint taken
-        # after the pin would hide it (the join would re-shuffle with an
-        # ENSURE_REQUIREMENTS exchange that AQE may coalesce, the exact
-        # quadratic-collapse trap the pin exists to prevent; caught by
-        # test_pair_expansion_joins_keep_explicit_width)
-        banded = banded.localCheckpoint(eager=False)
+        # persist (NOT localCheckpoint) BEFORE the width pin: the diagnostic
+        # aggregation and the self-join share the materialized
+        # shingle→minhash lineage, and the pin is applied on top afterwards
+        # — a cache taken after the pin would hide it (the join would
+        # re-shuffle with an ENSURE_REQUIREMENTS exchange that AQE may
+        # coalesce, the exact quadratic-collapse trap the pin exists to
+        # prevent; caught by test_pair_expansion_joins_keep_explicit_width).
+        # persist keeps lineage, so on a real cluster a lost executor's
+        # blocks RECOMPUTE instead of failing the job — localCheckpoint
+        # blocks are executor-local and unrecoverable (VERDICT r6 #2), a
+        # real failure mode on the DEFAULT path of the flagship dedup
+        # operator under spot executors at 100 TB.
+        from pyspark.storagelevel import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         max_n = (
             banded.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -160,10 +169,13 @@ def minhash_lsh_pairs(
         # ones emit hub→member star edges straight from the aggregate —
         # O(h) rows, no self-join ever touches them.
         # The banded rows are referenced by stats AND both join sides:
-        # without a checkpoint the shingle→minhash lineage (the expensive
-        # part) re-executes per reference (measured 21 → 49 s on the skew
-        # corpus); with it the capped path pays one materialization.
-        banded = banded.localCheckpoint(eager=False)
+        # without a shared materialization the shingle→minhash lineage
+        # (the expensive part) re-executes per reference (measured 21 →
+        # 49 s on the skew corpus). persist, not localCheckpoint — keeps
+        # the lineage recomputable under executor loss (see above).
+        from pyspark.storagelevel import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         stats = banded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("__n"),
             F.min(F.col(id_col)).alias("__hub"),
@@ -397,7 +409,9 @@ def near_dup_components(
     short chains (diameter ≤ ~3), so the loop usually exits after 2-3
     rounds via the zero-changes check. Each round is one equi-join + one
     groupBy-min per direction (all shuffles on the id key); the label
-    frame is localCheckpoint'ed per round to keep lineage flat. For
+    frame's lineage is truncated per round (flat_checkpoint: reliable
+    checkpoint when a checkpoint dir is configured — the cluster-safe
+    production mode — else executor-local) to keep plans flat. For
     adversarial long-chain graphs at 10^10 edges, pass
     ``method='star'`` — large-star/small-star (Kiveris et al.,
     ``connected_components_star``), same join primitives, O(log n)
@@ -420,7 +434,7 @@ def near_dup_components(
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: flat_checkpoint(d, eager=True))
     )
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
@@ -440,7 +454,7 @@ def near_dup_components(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda d: flat_checkpoint(d, eager=True))
         )
         # isEmpty, not count(): the convergence check only needs ANY
         # changed label, so the probe job early-exits at the first one
@@ -503,13 +517,13 @@ def connected_components_star(
         pairs.select(F.col(id_a).alias("n"))
         .unionByName(pairs.select(F.col(id_b).alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: flat_checkpoint(d, eager=True))
     )
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: flat_checkpoint(d, eager=True))
     )
     converged = e.isEmpty()  # empty input: all nodes are their own root
     for _ in range(max_iters):
@@ -536,7 +550,7 @@ def connected_components_star(
             .unionByName(m2.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(lambda d: flat_checkpoint(d, eager=True))
         )
         delta = (
             e_new.select("u", "v", F.lit(1).alias("s"))

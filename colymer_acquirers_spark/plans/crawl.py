@@ -326,11 +326,23 @@ def evict_seen(
     if clean_prefilter and done:
         exact = read_seen(spark, workdir, as_of)
         if exact is not None:
-            delete_set = canon.join(
-                exact.select("canonical_url").dropDuplicates(["canonical_url"]),
-                on="canonical_url",
-                how="left_semi",
-            ).localCheckpoint(eager=True)
+            # lineage TRUNCATION is load-bearing here, not an optimization:
+            # the frame snapshots state derived from files the staged swap
+            # below is about to rewrite — a recomputable plan could re-read
+            # the rewritten dir. flat_checkpoint upgrades to a reliable
+            # checkpoint when a checkpoint dir is configured (cluster mode).
+            from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
+
+            delete_set = flat_checkpoint(
+                canon.join(
+                    exact.select("canonical_url").dropDuplicates(
+                        ["canonical_url"]
+                    ),
+                    on="canonical_url",
+                    how="left_semi",
+                ),
+                eager=True,
+            )
     path = os.path.join(workdir, "evictions", str(as_of))
     if os.path.exists(os.path.join(path, "_TABLE_COMMIT")):
         # staged swap, NOT an in-place overwrite: a crash mid-rewrite must
