@@ -301,6 +301,32 @@ def regex_bandwidth_baseline(
 SCALE_SESSIONS = int(os.environ.get("BENCH_SCALE_SESSIONS", "3"))
 
 
+def _skew_md(sessions, uniform_session) -> str:
+    """Skew-sensitivity section for BENCH/BASELINE.md (VERDICT r6 #5)."""
+    if uniform_session is None:
+        return ""
+    s0 = sessions[0]
+    return f"""
+**Host-skew sensitivity (30%-single-host fixture vs uniform hosts):**
+the HEADLINE workload above already carries the hard fixture — synth
+assigns ~30% of all URLs to host0 (SURVEY §7.4.5), so the W1 two-phase
+politeness window and AQE skew joins are exercised by every session. A
+paired UNIFORM-host session (`SPARK_GRAFT_HOT_HOST_PCT=0`, run adjacent
+in time to session 0) isolates what the skew costs at scale-up:
+
+| fixture | URLs/s @local[{SCALE_N}] | URLs/s @local[{SCALE_4N}] | wall eff | CPU-work eff |
+|---|---|---|---|---|
+| skewed 30% (session 0, headline fixture) | {s0["out"][SCALE_N]["crawl_urls_per_sec"]} | {s0["out"][SCALE_4N]["crawl_urls_per_sec"]} | {s0["eff"]:.3f} | {s0["cpu_eff"]:.3f} |
+| uniform hosts (paired) | {uniform_session["out"][SCALE_N]["crawl_urls_per_sec"]} | {uniform_session["out"][SCALE_4N]["crawl_urls_per_sec"]} | {uniform_session["eff"]:.3f} | {uniform_session["cpu_eff"]:.3f} |
+
+Skewed-vs-uniform wall-efficiency gap:
+**{(abs(s0["eff"] - uniform_session["eff"]) / uniform_session["eff"] * 100 if uniform_session["eff"] else 0):.1f}%**
+(target: within 10% — the salted two-phase window keeps a hot host from
+serializing rank work into one task, so skew should cost throughput, not
+scaling efficiency).
+"""
+
+
 def run_scaling() -> None:
     """N vs 4N cores on the same crawl input (BASELINE.md protocol).
 
@@ -329,8 +355,7 @@ def run_scaling() -> None:
     seeds = int(os.environ["BENCH_CRAWL_SEEDS"])
     budget = int(os.environ["BENCH_CRAWL_BUDGET"])
     rounds = int(os.environ["BENCH_CRAWL_ROUNDS"])
-    sessions: list[dict] = []
-    for s in range(max(1, SCALE_SESSIONS)):
+    def _run_session(s, extra_env=None, tag=""):
         out: dict[int, dict] = {}
         runs: dict[int, list] = {}
         # INTERLEAVE the levels (N, 4N, N, 4N) instead of running each
@@ -346,6 +371,7 @@ def run_scaling() -> None:
                 env = dict(
                     os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_AFFINITY="1"
                 )
+                env.update(extra_env or {})
                 r = subprocess.run(
                     [sys.executable, __file__, "--crawl-only"],
                     env=env,
@@ -364,20 +390,35 @@ def run_scaling() -> None:
                     or res["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]
                 ):
                     out[cpus] = res
-                print(f"session {s} local[{cpus}]: {res}", file=sys.stderr)
+                print(f"session {s}{tag} local[{cpus}]: {res}", file=sys.stderr)
         tn = out[SCALE_N]["crawl_urls_per_sec"]
         t4n = out[SCALE_4N]["crawl_urls_per_sec"]
         cpu_n = out[SCALE_N].get("crawl_cpu_us_per_url", 0)
         cpu_4n = out[SCALE_4N].get("crawl_cpu_us_per_url", 0)
-        sessions.append(
-            {
-                "out": out,
-                "runs": runs,
-                "eff": (t4n / tn) / (SCALE_4N / SCALE_N) if tn else 0.0,
-                "cpu_eff": (cpu_n / cpu_4n) if cpu_4n else 0.0,
-            }
-        )
-        print(f"session {s}: eff={sessions[-1]['eff']:.3f}", file=sys.stderr)
+        sess = {
+            "out": out,
+            "runs": runs,
+            "eff": (t4n / tn) / (SCALE_4N / SCALE_N) if tn else 0.0,
+            "cpu_eff": (cpu_n / cpu_4n) if cpu_4n else 0.0,
+        }
+        print(f"session {s}{tag}: eff={sess['eff']:.3f}", file=sys.stderr)
+        return sess
+
+    sessions: list[dict] = []
+    # skew-sensitivity pair (VERDICT r6 #5): the DEFAULT workload already
+    # IS the 30%-single-host fixture (synth HOT_HOST_PCT=30 — the W1
+    # two-phase window + AQE skew joins run in every headline session);
+    # one extra session per protocol run flattens the hosts
+    # (SPARK_GRAFT_HOT_HOST_PCT=0) so BASELINE.md can show skewed-vs-
+    # uniform efficiency side by side.
+    uniform_session = None
+    n_uniform = int(os.environ.get("BENCH_SCALE_UNIFORM_SESSIONS", "1"))
+    for s in range(max(1, SCALE_SESSIONS)):
+        sessions.append(_run_session(s))
+        if s < n_uniform:
+            uniform_session = _run_session(
+                s, extra_env={"SPARK_GRAFT_HOT_HOST_PCT": "0"}, tag="-uniform"
+            )
     by_eff = sorted(sessions, key=lambda x: x["eff"])
     # even session counts: med_eff is the statistical median (mean of the
     # middle two) and the displayed session is the LOWER middle, so the
@@ -458,6 +499,7 @@ sessions; this section's table shows the median session, eff {eff:.3f})
 — a value ≈ 1.0 means 4N-way execution spends no extra CPU per URL: the
 plan has no parallelism overhead (no extra shuffles, no serial recompute).
 
+{_skew_md(sessions, uniform_session)}
 **Non-Spark regex bandwidth control (same box, same protocol):** the
 engine's frozen text-strip regex over an equivalent html corpus, run by N
 independent CPython processes, one pinned core each — no JVM, no Spark,

@@ -6,7 +6,11 @@ byte-reproducible at any parallelism and any scale tier (1e3 unit →
 1e10-frontier extrapolation). ``xxhash64(id, salt)`` is the entropy source.
 
 Properties (to exercise the engine):
-- ~20 hosts; host0 is hot (~30%% of URLs) → salting / skew-join coverage.
+- ~20 hosts; host0 is hot (~30%% of URLs by default) → salting / skew-join
+  coverage; the W1 two-phase politeness window and AQE skew joins are thus
+  exercised by EVERY bench/scaling run, not a side fixture.
+  ``SPARK_GRAFT_HOT_HOST_PCT`` overrides the hot share (0 → uniform hosts;
+  bench.py --scaling uses this for the skewed-vs-uniform sensitivity pair).
 - ~10%% of pages live under ``/private/`` → robots deny coverage.
 - 0-8 links/page in five href forms (canonical, #fragment, UPPERCASE host,
   root-relative, query-reorder) → canonicalization coverage; ~5%% of link
@@ -17,11 +21,14 @@ Properties (to exercise the engine):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_HOSTS = 20
-HOT_HOST_PCT = 30  # host0 share, percent
+# host0 share, percent (read at import; subprocess-level knob)
+HOT_HOST_PCT = int(os.environ.get("SPARK_GRAFT_HOT_HOST_PCT", "30"))
 LANGS = ["en", "zh", "ja", "de"]
 
 _WORDS = {
