@@ -621,3 +621,42 @@ def test_lsh_hot_bucket_diagnostic(spark):
     assert sorted(map(tuple, warned.collect())) == sorted(
         map(tuple, silent.collect())
     )
+
+
+def test_flat_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
+    """flat_checkpoint (operators/ckpt.py) must switch to a RELIABLE
+    checkpoint when a checkpoint dir is configured (the cluster-safe
+    production mode: executor-local blocks die with the executor) and the
+    dedup components must produce identical clusters in that mode."""
+    from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
+    from colymer_acquirers_spark.operators.dedup import near_dup_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    out = flat_checkpoint(df, eager=True)
+    assert {r["v"] for r in out.collect()} == {0, 2, 4, 6, 8}
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert sc.getCheckpointDir() is not None
+        out2 = flat_checkpoint(df, eager=True)
+        assert {r["v"] for r in out2.collect()} == {0, 2, 4, 6, 8}
+        # reliable-checkpoint files actually landed in the configured dir
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+        # the iterative operator end-to-end under reliable checkpointing
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"]
+        )
+        got = {
+            (r["id"], r["component"])
+            for r in near_dup_components(pairs).collect()
+        }
+        want = set(_py_components([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]).items())
+        assert got == want
+    finally:
+        # do not leak the checkpoint dir into other tests in this session
+        opt_empty = getattr(getattr(sc._jvm, "scala.Option$"), "MODULE$").empty()
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(opt_empty)

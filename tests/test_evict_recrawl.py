@@ -242,11 +242,14 @@ def test_double_evict_rewrite_is_staged(spark, tmp_path, monkeypatch):
 
 
 def test_flagship_recrawl_flow_crash_safety(spark):
-    """ADVICE r5 (medium): the crawl→evict→recrawl flow stages in a
-    scratch dir and renames atomically on success. A run that died
-    mid-flow leaves a partial ``.tmp`` (here: poisoned with junk) — the
-    rerun must discard it, rebuild from scratch, stamp ``_FLOW_DONE``,
-    and a second invocation must be a pure re-read with identical rows."""
+    """ADVICE r5 (medium) + ADVICE r6 (low): the crawl→evict→recrawl flow
+    stages in a UNIQUE mkdtemp scratch dir (never a fixed path two
+    concurrent evaluators could race on) and renames atomically on
+    success. Partial state from a crashed run — here a poisoned legacy
+    ``wd + ".tmp"`` dir AND a poisoned stale ``.stage_`` dir — must never
+    be absorbed into the published flow; the rerun rebuilds from scratch
+    in its own staging, stamps ``_FLOW_DONE``, and a second invocation is
+    a pure re-read with identical rows."""
     import os
     import shutil
 
@@ -257,18 +260,25 @@ def test_flagship_recrawl_flow_crash_safety(spark):
     q = entrymod.queries()["flagship_recrawl"]
     wd = _q.flagship_workdir(sf, 4) + "_recrawl"
     shutil.rmtree(wd, ignore_errors=True)
-    tmp = wd + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "junk"), "w") as fh:
-        fh.write("partial state from a crashed run")
+    poisoned = [wd + ".tmp", wd + ".stage_crashed"]
+    for p in poisoned:
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p)
+        with open(os.path.join(p, "junk"), "w") as fh:
+            fh.write("partial state from a crashed run")
 
     out1 = [tuple(r) for r in q(spark, sf).collect()]
     assert out1, "recrawl surface must be non-empty"
     assert os.path.exists(os.path.join(wd, "_FLOW_DONE"))
-    assert not os.path.exists(tmp), "staging dir must be renamed away"
     assert not os.path.exists(os.path.join(wd, "junk")), (
         "poisoned staging state must not survive into the published dir"
     )
+    # unique staging by construction: the crashed dirs were never touched
+    # (rmtree-ing a path another process might be staging in is the race
+    # ADVICE r6 flagged), and the published dir is complete regardless
+    for p in poisoned:
+        assert os.path.exists(os.path.join(p, "junk"))
+        shutil.rmtree(p, ignore_errors=True)
 
     out2 = [tuple(r) for r in q(spark, sf).collect()]
     assert out1 == out2
