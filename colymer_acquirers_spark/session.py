@@ -67,6 +67,33 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Production Iceberg catalog, one flag, no code change (north_rule:
+    # "over Iceberg tables"): SPARK_GRAFT_ICEBERG="<catalog>=<warehouse>"
+    # (e.g. "ice=s3://bucket/warehouse" or a local path) wires the Iceberg
+    # SQL extensions + a hadoop-type SparkCatalog at session creation.
+    # sources/tables.py then routes every <catalog>.db.table identifier
+    # through writeTo/MERGE automatically (_is_catalog_table). Requires the
+    # iceberg-spark-runtime jar on the classpath (add via
+    # SPARK_GRAFT_CONF="spark.jars.packages=org.apache.iceberg:..." on a
+    # real deployment); tests/test_tables.py gates its catalog round-trip
+    # on the jar's presence, so the same tree runs in this jar-less sandbox
+    # and on a production cluster.
+    ice = os.environ.get("SPARK_GRAFT_ICEBERG", "")
+    if "=" in ice:
+        cat, warehouse = ice.split("=", 1)
+        builder = (
+            builder.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions."
+                "IcebergSparkSessionExtensions",
+            )
+            .config(
+                f"spark.sql.catalog.{cat}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            .config(f"spark.sql.catalog.{cat}.type", "hadoop")
+            .config(f"spark.sql.catalog.{cat}.warehouse", warehouse)
+        )
     # generic conf override hook for controlled experiments, e.g.
     # SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
     for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
