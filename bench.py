@@ -459,11 +459,17 @@ other session's), and the whole protocol repeated for {len(sessions)}
 SESSIONS — the headline is the MEDIAN session's efficiency (r04
 protocol).
 
-r5 engine change relevant to this gate: staging HOF-lambda subtrees in
-the envelope/link extraction cut end-to-end crawl JVM-CPU per URL by
-20% (same-day alternating cold A/B at local[32]: 4300/4369 → 3367/3558
-µs/URL; PLANS.md round-5 audit) — less CPU per URL means less pressure
-on the per-node memory-bandwidth ceiling that bounds N→4N here.
+r7 engine change relevant to this gate: the per-crawl serial driver
+share (rank-offset AQE job cascade + per-write planning gaps + ~1.3-1.8
+s/round of py4j plan construction) was eliminated — lazy rank-offset
+subplan, ONE progressive write pool, plan-fragment reuse. Alternating
+same-day A/B vs the r6 commit (BENCH/ab_driver_gap.py, 5 adjacent
+pairs at local[32]): warm-crawl wall lower in ALL 5 pairs, median
+−34.7%; zero-running-task driver time 7.9 s (37% of warm wall) → 3.5 s
+(21%) by event-log audit (BENCH/gap_audit.py). The serial share is
+core-count-independent, so removing it raises the 4N level more than N.
+(r5's HOF-staging CPU cut and r6's literal-free JIT fix remain in —
+PLANS.md rounds 5-6.)
 
 ## All sessions
 

@@ -286,22 +286,27 @@ def ivf_assign(
     becomes the partition/bucket key for the inverted file.
     """
     v = F.col(vec_col).cast("array<double>")
-
-    def dist2(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+    # LINEAR-size argmin, not a when-chain: the old
+    # ``best_d = when(d < best_d, d).otherwise(best_d)`` fold referenced
+    # the previous best_d tree TWICE per step, so the expression DOUBLED
+    # per centroid (~2^k copies of the distance subtree at k centroids —
+    # measured ~6 s per execution over a 2,000-row table, single task,
+    # dominated by evaluating the exploded tree). One transform over an
+    # array-of-centroids literal evaluates each distance exactly once;
+    # array_position(…, array_min(…)) keeps the same first-min tie-break
+    # (bitwise-equal doubles — the min IS one of the elements).
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    d2s = F.transform(
+        cents_arr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    best = F.lit(0)
-    best_d = dist2(centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = dist2(c)
-        cond = d < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, d).otherwise(best_d)
+        ),
+    )
+    best = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
     return df.withColumn(out_col, best)
 
 
