@@ -10,7 +10,7 @@ candidate-bucketed (LSH bands / shared shingles), never a full cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
@@ -439,6 +439,10 @@ def near_dup_components(
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
+    if edges.isEmpty():
+        # no edges → nothing iterates; also guards the Observation below
+        # (a zero-task job resolves an observation to a fieldless row)
+        return labels.select(F.col("id"), F.col("comp").alias("component"))
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -446,8 +450,21 @@ def near_dup_components(
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        # convergence count rides an Observation on the SAME eager
+        # checkpoint job that materializes the round (new comp != old comp
+        # ⟺ ncomp < comp) — exact because the eager checkpoint is ONE job
+        # over every partition (not a shared-cache co-materialization, the
+        # partial-count trap documented in politeness.robots_filter), and
+        # it replaces the former per-round join + isEmpty probe job.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("ncomp") < F.col("comp"), F.lit(1))
+                ).alias("changed"),
+            )
             .select(
                 "id",
                 F.least(
@@ -456,16 +473,8 @@ def near_dup_components(
             )
             .transform(lambda d: flat_checkpoint(d, eager=True))
         )
-        # isEmpty, not count(): the convergence check only needs ANY
-        # changed label, so the probe job early-exits at the first one
-        unchanged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
         labels = new_labels
-        if unchanged:
+        if int(obs.get["changed"]) == 0:
             converged = True
             break
     if not converged:

@@ -772,9 +772,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # component twice, so the driver's value hash simultaneously checks
     # each algorithm against ground truth AND the two against each other.
     def near_dup_clusters(spark, sf):
+        from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
         from colymer_acquirers_spark.operators.dedup import near_dup_components
 
-        pairs = ngram_jaccard_pairs_sql(spark, sf)
+        # materialize the pair list ONCE: both algorithms' edge-list
+        # checkpoints otherwise re-run the full n-gram Jaccard pair
+        # generation (the expensive half of this entry)
+        pairs = flat_checkpoint(ngram_jaccard_pairs_sql(spark, sf), eager=True)
         label = near_dup_components(pairs)
         star = near_dup_components(pairs, method="star").select(
             F.col("id"), F.col("component").alias("component_star")
