@@ -155,23 +155,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 prefix=os.path.basename(wd) + ".stage_",
                 dir=os.path.dirname(wd),
             )
-            pages = _q.pages_from_documents(spark, sf)
-            seeds = pages.orderBy("url").limit(5).select(
-                "url", F.lit(0).cast("int").alias("priority")
-            )
-            run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=2)
-            url = (
-                read_output(spark, tmp, "crawl_order")
-                .orderBy("rank")
-                .first()["url"]
-            )
-            target = spark.createDataFrame([(url, 0)], ["url", "priority"])
-            evict_seen(spark, tmp, target.select("url"))
-            run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=4,
-                      reseed=target)
-            assert len(committed_rounds(tmp)) == 4
-            with open(os.path.join(tmp, "_FLOW_DONE"), "w") as fh:
-                fh.write("ok\n")
+            try:
+                pages = _q.pages_from_documents(spark, sf)
+                seeds = pages.orderBy("url").limit(5).select(
+                    "url", F.lit(0).cast("int").alias("priority")
+                )
+                run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=2)
+                url = (
+                    read_output(spark, tmp, "crawl_order")
+                    .orderBy("rank")
+                    .first()["url"]
+                )
+                target = spark.createDataFrame([(url, 0)], ["url", "priority"])
+                evict_seen(spark, tmp, target.select("url"))
+                run_crawl(spark, pages, seeds, None, None, tmp, max_rounds=4,
+                          reseed=target)
+                assert len(committed_rounds(tmp)) == 4
+                with open(os.path.join(tmp, "_FLOW_DONE"), "w") as fh:
+                    fh.write("ok\n")
+            except BaseException:
+                # our own staging dir, no other process can be inside it —
+                # drop it so repeated failures don't accumulate full flow
+                # copies next to wd (ADVICE r7). Sibling .stage_* dirs are
+                # deliberately NOT GC'd: another evaluator may be staging
+                # in one right now (the no-touch contract the crash-safety
+                # test pins).
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             try:
                 shutil.rmtree(wd, ignore_errors=True)
                 os.rename(tmp, wd)

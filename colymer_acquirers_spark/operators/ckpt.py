@@ -19,13 +19,58 @@ loss cannot happen because driver and executors share one JVM).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
 def flat_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate ``df``'s lineage; reliable checkpoint if a checkpoint dir is
-    configured, executor-local checkpoint otherwise."""
+    configured, executor-local checkpoint otherwise.
+
+    Reliable mode persists the frame around the checkpoint (r8, ADVICE
+    r7): ``checkpoint()`` otherwise recomputes the whole plan a second
+    time for the reliable write — a 2x compute tax on every caller.  The
+    cache is dropped as soon as the eager checkpoint has materialized
+    (the data now lives in the checkpoint files).  Note the Observation
+    caveat either way: an ``observe()`` riding a reliable checkpoint can
+    see its accumulator fire once per pass, so treat such counts as
+    magnitudes (emptiness / sizing), not exact tallies — local
+    ``localCheckpoint`` mode runs ONE job and stays exact.
+    """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        from pyspark.storagelevel import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = cached.checkpoint(eager=eager)
+        if eager:
+            cached.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
+
+
+@contextmanager
+def scoped_shuffle_width(spark, width: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` (e.g. to a width
+    DERIVED from a materialized row count — guide §2: partitioning should
+    adapt to data size, not sit at a constant tuned for one scale).  The
+    previous value is restored on exit; plans EXECUTED inside the scope
+    pick up the pinned width, so callers must run their actions inside."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(int(width)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def width_for_rows(spark, n_rows: int, rows_per_partition: int = 1 << 20) -> int:
+    """Shuffle width for an iterative loop over ``n_rows``-row frames:
+    ~``rows_per_partition`` rows per task, floored at 1 and capped at the
+    session's configured width (at cluster scale this returns the
+    configured width unchanged; at bench/test scale it stops 32-task
+    shuffles being launched over a few hundred rows)."""
+    full = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(full, (int(n_rows) + rows_per_partition - 1) // rows_per_partition))

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
+from colymer_acquirers_spark.operators.ckpt import (
+    flat_checkpoint,
+    scoped_shuffle_width,
+    width_for_rows,
+)
 
 
 def _md5_long(col) -> F.Column:
@@ -56,10 +60,17 @@ def minhash_signatures(
     """Word-level MinHash: sig_j = min over words of md5int(word||'#'||j).
 
     One explode + one groupBy; the n_hashes mins are computed in a single
-    aggregation pass (no per-hash shuffle).
+    aggregation pass (no per-hash shuffle). Duplicate words are dropped
+    per document BEFORE the explode (``array_distinct`` — a per-row JVM
+    op, no shuffle): min over a set equals min over the multiset, so the
+    signatures are bit-identical while the n_hashes md5+conv evaluations
+    run once per *distinct* word instead of once per occurrence (r8:
+    measured 2.3x fewer hashed rows on the documents fixture; natural
+    text repeats words at every scale).
     """
     words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
     aggs = [
         F.min(_md5_long(F.concat(F.col("w"), F.lit(f"#{j}")))).alias(f"sig{j}")
@@ -162,8 +173,8 @@ def minhash_lsh_pairs(
                 "star expansion (connectivity-preserving).",
                 stacklevel=2,
             )
-    banded = pin_shuffle_width(banded, "band_idx", "band_key")
     if bucket_cap is not None:
+        banded = pin_shuffle_width(banded, "band_idx", "band_key")
         # one aggregation over the banded rows decides per bucket: size and
         # hub (min id). Small buckets keep the exact clique join; oversized
         # ones emit hub→member star edges straight from the aggregate —
@@ -207,8 +218,20 @@ def minhash_lsh_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         return clique.unionByName(big_star).dropDuplicates(["id_a", "id_b"])
+    # Only the BUILD side of the self-join carries the explicit-width pin
+    # (r8, guide §2.5/§3.1): pinning BOTH sides hash-partitioned the probe
+    # side by the bucket key too, which concentrated every hot bucket's
+    # h(h-1)/2 clique expansion into ONE task — under the (local-scale)
+    # broadcast plan the probe side has NO distribution requirement, so
+    # leaving it on its upstream doc-uniform layout parallelizes the
+    # expansion across every core, while the pinned build side still
+    # defeats AQE's byte-based collapse whenever the planner picks a
+    # shuffle join (the 168 s trap pin_shuffle_width documents). At
+    # cluster scale the probe side's ENSURE_REQUIREMENTS exchange carries
+    # real bytes (no collapse) and AQE skew-join can split its oversized
+    # partitions — something a user-pinned exchange opts out of.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = pin_shuffle_width(banded, "band_idx", "band_key").alias("b")
     return (
         a.join(
             b,
@@ -300,8 +323,11 @@ def simhash_near_dups(
     keyed = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunks)).alias("ck")
     ).select(id_col, "simhash", "ck.chunk_idx", "ck.chunk_key")
-    keyed = pin_shuffle_width(keyed, "chunk_idx", "chunk_key")
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # build-side-only pin (r8) — same reasoning as minhash_lsh_pairs: the
+    # probe side keeps its doc-uniform layout so a hot chunk bucket's
+    # quadratic expansion parallelizes instead of landing in one task
+    a = keyed.alias("a")
+    b = pin_shuffle_width(keyed, "chunk_idx", "chunk_key").alias("b")
     pairs = (
         a.join(
             b,
@@ -346,15 +372,26 @@ def ngram_jaccard_pairs(
     """
     toks = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            )
-        ).alias("sh"),
-    ).dropDuplicates([id_col, "sh"])
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+                )
+            ).alias("sh"),
+        )
+        .dropDuplicates([id_col, "sh"])
+        # the shingle set is referenced by the per-doc counts, the DF-cap
+        # filter AND both self-join sides — persist so the explode +
+        # dedup shuffle runs once, not once per reference (r8; persist
+        # keeps lineage recomputable under executor loss, unlike
+        # localCheckpoint — see minhash_lsh_pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     counts = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         rare = (
@@ -364,8 +401,9 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         shingled = shingled.join(rare, on="sh", how="left_semi")
-    shingled = pin_shuffle_width(shingled, "sh")
-    a, b = shingled.alias("a"), shingled.alias("b")
+    # build-side-only pin (r8) — see minhash_lsh_pairs: probe side keeps
+    # its uniform layout so a hot shingle's expansion parallelizes
+    a, b = shingled.alias("a"), pin_shuffle_width(shingled, "sh").alias("b")
     inter = (
         a.join(
             b,
@@ -431,52 +469,68 @@ def near_dup_components(
     if max_iters is None:
         max_iters = 25
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the edge count rides the eager checkpoint job as an Observation
+    # (r8): it replaces the former isEmpty probe job AND sizes the loop's
+    # shuffle width from the data instead of the session constant —
+    # near-dup edge lists are a sliver of the corpus, and 32-task
+    # shuffles over a few hundred rows cost more scheduling than compute
+    # (guide §2: scale-adaptive partitioning). An AQE-pruned empty plan
+    # resolves the observation to a fieldless row, so absence ⇒ 0 rows.
+    obs_edges = Observation()
+    edges = flat_checkpoint(
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .distinct()
-        .transform(lambda d: flat_checkpoint(d, eager=True))
+        .observe(obs_edges, F.count(F.lit(1)).alias("n")),
+        eager=True,
     )
+    n_edges = int(obs_edges.get.get("n", 0) or 0)
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    if edges.isEmpty():
-        # no edges → nothing iterates; also guards the Observation below
-        # (a zero-task job resolves an observation to a fieldless row)
+    if n_edges == 0:
         return labels.select(F.col("id"), F.col("comp").alias("component"))
+    spark = pairs.sparkSession
     converged = False
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["a"] == labels["id"])
-            .groupBy(F.col("b").alias("id2"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        # convergence count rides an Observation on the SAME eager
-        # checkpoint job that materializes the round (new comp != old comp
-        # ⟺ ncomp < comp) — exact because the eager checkpoint is ONE job
-        # over every partition (not a shared-cache co-materialization, the
-        # partial-count trap documented in politeness.robots_filter), and
-        # it replaces the former per-round join + isEmpty probe job.
-        obs = Observation()
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
-            .observe(
-                obs,
-                F.count(
-                    F.when(F.col("ncomp") < F.col("comp"), F.lit(1))
-                ).alias("changed"),
+    # loop shuffles run at the derived width (restored on exit); the
+    # checkpointed frames persist beyond the scope, so the caller's later
+    # consumption is unaffected
+    with scoped_shuffle_width(spark, width_for_rows(spark, n_edges)):
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["a"] == labels["id"])
+                .groupBy(F.col("b").alias("id2"))
+                .agg(F.min("comp").alias("ncomp"))
             )
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
+            # convergence count rides an Observation on the SAME eager
+            # checkpoint job that materializes the round (new comp != old
+            # comp ⟺ ncomp < comp) — exact because the eager checkpoint is
+            # ONE job over every partition (not a shared-cache
+            # co-materialization, the partial-count trap documented in
+            # politeness.robots_filter), and it replaces the former
+            # per-round join + isEmpty probe job.
+            obs = Observation()
+            new_labels = (
+                labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+                .observe(
+                    obs,
+                    F.count(
+                        F.when(F.col("ncomp") < F.col("comp"), F.lit(1))
+                    ).alias("changed"),
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .transform(lambda d: flat_checkpoint(d, eager=True))
             )
-            .transform(lambda d: flat_checkpoint(d, eager=True))
-        )
-        labels = new_labels
-        if int(obs.get["changed"]) == 0:
-            converged = True
-            break
+            labels = new_labels
+            if int(obs.get["changed"]) == 0:
+                converged = True
+                break
     if not converged:
         # exiting on the iteration budget means labels are still moving:
         # the result would be silently OVER-SPLIT (multiple representatives
@@ -522,57 +576,67 @@ def connected_components_star(
     Same return contract as ``near_dup_components``: (id, component=min
     id) for every id in ``pairs``.
     """
-    nodes = (
-        pairs.select(F.col(id_a).alias("n"))
-        .unionByName(pairs.select(F.col(id_b).alias("n")))
-        .distinct()
-        .transform(lambda d: flat_checkpoint(d, eager=True))
-    )
-    e = (
+    # edge count rides the eager checkpoint (replaces the isEmpty probe
+    # job) and derives the loop's shuffle width from the data — see the
+    # near_dup_components note (r8, guide §2 scale-adaptive partitioning)
+    obs_e = Observation()
+    e = flat_checkpoint(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(lambda d: flat_checkpoint(d, eager=True))
+        .observe(obs_e, F.count(F.lit(1)).alias("n")),
+        eager=True,
     )
-    converged = e.isEmpty()  # empty input: all nodes are their own root
-    for _ in range(max_iters):
-        if converged:
-            break
-        sym = e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.col("u")).alias("mn")
-        )
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
-        e_new = (
-            large.join(m2, "u")
-            .filter(F.col("v") != F.col("mn"))
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-            .unionByName(m2.select("u", F.col("mn").alias("v")))
-            .filter(F.col("u") != F.col("v"))
+    n_e = int(obs_e.get.get("n", 0) or 0)
+    converged = n_e == 0  # empty input: all nodes are their own root
+    spark = pairs.sparkSession
+    with scoped_shuffle_width(spark, width_for_rows(spark, n_e)):
+        # the node set's checkpoint also runs inside the width scope (its
+        # distinct is the same order of magnitude as the edge list)
+        nodes = (
+            pairs.select(F.col(id_a).alias("n"))
+            .unionByName(pairs.select(F.col(id_b).alias("n")))
             .distinct()
             .transform(lambda d: flat_checkpoint(d, eager=True))
         )
-        delta = (
-            e_new.select("u", "v", F.lit(1).alias("s"))
-            .unionByName(e.select("u", "v", F.lit(-1).alias("s")))
-            .groupBy("u", "v")
-            .agg(F.sum("s").alias("d"))
-            .filter(F.col("d") != 0)
-        )
-        unchanged = delta.isEmpty()
-        e = e_new
-        if unchanged:
-            converged = True
-            break
+        for _ in range(max_iters):
+            if converged:
+                break
+            sym = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.col("u")).alias("mn")
+            )
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            m2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+            e_new = (
+                large.join(m2, "u")
+                .filter(F.col("v") != F.col("mn"))
+                .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+                .unionByName(m2.select("u", F.col("mn").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .transform(lambda d: flat_checkpoint(d, eager=True))
+            )
+            delta = (
+                e_new.select("u", "v", F.lit(1).alias("s"))
+                .unionByName(e.select("u", "v", F.lit(-1).alias("s")))
+                .groupBy("u", "v")
+                .agg(F.sum("s").alias("d"))
+                .filter(F.col("d") != 0)
+            )
+            unchanged = delta.isEmpty()
+            e = e_new
+            if unchanged:
+                converged = True
+                break
     if not converged:
         import warnings
 
@@ -631,23 +695,44 @@ def minhash_near_dups_verified(
     work anywhere. Recall is the LSH recall: 1-(1-s^rows)^bands for true
     similarity s. Returns (id_a, id_b, jaccard).
     """
+    from pyspark.storagelevel import StorageLevel
+
     cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands)
     # each candidate row buys an array_intersect over full word sets —
     # keep the verify wide
     cand = pin_shuffle_width(cand, "id_a")
+    # one scan + one array_distinct pass, shared by both attach joins (r8)
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    wa = words.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__ws").alias("__wa"),
+        F.size("__ws").alias("__na"),
     )
-    wa = words.select(F.col(id_col).alias("id_a"), F.col("__ws").alias("__wa"))
-    wb = words.select(F.col(id_col).alias("id_b"), F.col("__ws").alias("__wb"))
-    j = (
-        F.size(F.array_intersect(F.col("__wa"), F.col("__wb")))
-        / F.size(F.array_union(F.col("__wa"), F.col("__wb")))
+    wb = words.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__ws").alias("__wb"),
+        F.size("__ws").alias("__nb"),
     )
+    # |A∪B| = |A| + |B| − |A∩B| for distinct sets, so the union array is
+    # never materialized: per candidate pair the verify builds ONE hash
+    # set (array_intersect) instead of two (r8 — this is the per-pair
+    # inner loop over millions of candidates; sizes ride along as ints)
+    jacc = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
     return (
         cand.join(wa, "id_a")
         .join(wb, "id_b")
-        .select("id_a", "id_b", j.alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            "__na",
+            "__nb",
+            F.size(F.array_intersect(F.col("__wa"), F.col("__wb"))).alias(
+                "__inter"
+            ),
+        )
+        .select("id_a", "id_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -9,6 +9,8 @@ are reproducible across runs and parallelism.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -18,6 +20,51 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
+
+
+# Plan-invariant Column fragments (hyperplane/centroid/query-vector
+# literals and the expressions folded over them) are memoized module-wide
+# (r8): Column objects are immutable unresolved-expression wrappers, safe
+# to reuse across DataFrames, and rebuilding them cost ~1,500 F.lit py4j
+# round trips ≈ 1-2 s of serial driver time per ann_topk_variants
+# invocation — more than the query's own execution. Same gateway-lifetime
+# assumption as plans/round.py's fragment caches.
+
+
+@lru_cache(maxsize=64)
+def _vec_lit(values: tuple) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+@lru_cache(maxsize=64)
+def _planes_lit(planes_key: tuple) -> tuple:
+    return tuple(_vec_lit(p) for p in planes_key)
+
+
+@lru_cache(maxsize=64)
+def _cents_lit(cents_key: tuple) -> Column:
+    return F.array(*[_vec_lit(c) for c in cents_key])
+
+
+@lru_cache(maxsize=64)
+def _cosine_sim_col(qv_key: tuple, vec_col: str) -> Column:
+    v = F.col(vec_col).cast("array<double>")
+    q = _vec_lit(qv_key)
+    return dot(v, q) / (F.sqrt(dot(v, v)) * F.sqrt(dot(q, q)))
+
+
+@lru_cache(maxsize=64)
+def _bucket_key_col(dim: int, n_planes: int, seed: int, vec_col: str) -> Column:
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    key = None
+    for i, p in enumerate(planes):
+        plane = _vec_lit(tuple(float(x) for x in p))
+        bit = F.when(dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+        key = bit if key is None else key + bit
+    return key
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -32,10 +79,9 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact brute-force top-k by cosine to a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = F.col(vec_col).cast("array<double>")
+    sim = _cosine_sim_col(tuple(float(x) for x in query_vec), vec_col)
     return (
-        df.select(F.col(id_col), cosine(v, q).alias("sim"))
+        df.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -60,16 +106,7 @@ def lsh_bucket(
     the candidate set for ANN at scale (query: compute the query's bucket,
     scan only that bucket + neighbors by hamming distance).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
-    key = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << i).cast("long")
-        key = bit if key is None else key + bit
-    return df.withColumn(out_col, key)
+    return df.withColumn(out_col, _bucket_key_col(dim, n_planes, seed, vec_col))
 
 
 def ann_cosine_topk_lsh(
@@ -135,15 +172,7 @@ def embedding_near_dups_lsh(
     v = F.col(vec_col).cast("array<double>")
 
     def bucket_expr(t: int):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        key = None
-        for i, pl in enumerate(planes):
-            plane = F.array(*[F.lit(float(x)) for x in pl])
-            bit = F.when(dot(v, plane) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ) * F.lit(1 << i).cast("long")
-            key = bit if key is None else key + bit
-        return key
+        return _bucket_key_col(dim, n_planes, seed + t, vec_col)
 
     tables = F.array(
         *[
@@ -285,6 +314,14 @@ def ivf_assign(
     assignment is one embarrassingly-parallel projection; the cluster id
     becomes the partition/bucket key for the inverted file.
     """
+    best = _ivf_best_col(
+        tuple(tuple(float(x) for x in c) for c in centroids), vec_col
+    )
+    return df.withColumn(out_col, best)
+
+
+@lru_cache(maxsize=64)
+def _ivf_best_col(cents_key: tuple, vec_col: str) -> Column:
     v = F.col(vec_col).cast("array<double>")
     # LINEAR-size argmin, not a when-chain: the old
     # ``best_d = when(d < best_d, d).otherwise(best_d)`` fold referenced
@@ -295,9 +332,7 @@ def ivf_assign(
     # array-of-centroids literal evaluates each distance exactly once;
     # array_position(…, array_min(…)) keeps the same first-min tie-break
     # (bitwise-equal doubles — the min IS one of the elements).
-    cents_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents_arr = _cents_lit(cents_key)
     d2s = F.transform(
         cents_arr,
         lambda c: F.aggregate(
@@ -307,7 +342,10 @@ def ivf_assign(
         ),
     )
     best = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-    return df.withColumn(out_col, best)
+    # NULL/malformed vectors fall back to bucket 0 (ADVICE r7: the r7
+    # argmin rewrite silently changed them to a NULL bucket, dropping
+    # such rows from the inverted file; the pre-r7 when-chain assigned 0)
+    return F.coalesce(best, F.lit(0).cast("int"))
 
 
 def ann_cosine_topk_ivf(

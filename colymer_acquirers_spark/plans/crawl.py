@@ -476,7 +476,18 @@ def run_crawl(
     if use_bloom and seen_base is not None:
         n_seen_base = seen_base.count()
     # canonicalize once, reuse across rounds (at warehouse scale the pages
-    # table stores canonical_url as a bucketed column instead — see README)
+    # table stores canonical_url as a bucketed column instead — see README).
+    # r8 NOTE (negative result, kept for the record): a parse-once page
+    # store (parsed_pages + plan-truncating lazy checkpoint, so rounds
+    # join pre-parsed (p, env) structs) was built and A/B-measured here —
+    # warm crawl wall REGRESSED (14.3-14.4 s → 21-24 s in 2 of 3
+    # alternating fresh-process pairs): the full-corpus parse+cache
+    # materialization serializes behind round 0's first job instead of
+    # riding the per-round write pool, and parses the ~30% of pages the
+    # budget never fetches. The per-round construct gap it targeted
+    # turned out to be driver-JVM contention while pooled writes run, not
+    # parse-tree analysis. Reverted to the per-round parse (run_round
+    # step 7), which keeps parse work proportional to FETCHED pages.
     pages_k = keyed_pages(pages).persist()
     # compile the robots rules table once (one array<struct> row per host);
     # every round broadcast-joins the same compiled frame instead of
@@ -504,7 +515,16 @@ def run_crawl(
         rank_offset = 0
         start_round = 0
         frontier = bootstrap_frontier(seeds).persist()
-        frontier_count = frontier.count()
+        # the exact bootstrap count is a metric; the loop itself only
+        # needs emptiness. metrics_full=False skips the blocking count
+        # job ahead of round 0 (r8; isEmpty touches one partition) —
+        # later rounds get their counts free from the frontier write's
+        # Observation either way.
+        frontier_count = (
+            frontier.count()
+            if metrics_full
+            else (0 if frontier.isEmpty() else -1)
+        )
 
     if reseed is not None:
         # re-crawl injection (pairs with evict_seen): merge extra seeds into

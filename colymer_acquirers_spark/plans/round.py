@@ -188,6 +188,8 @@ def keyed_pages(pages: DataFrame, cluster: bool = True) -> DataFrame:
     return k
 
 
+
+
 def run_round(
     frontier: DataFrame,
     seen: DataFrame | None,
@@ -249,6 +251,7 @@ def run_round(
         candidates = unseen.unionByName(dedup_against_seen(maybe, seen)).persist()
     else:
         candidates = dedup_against_seen(frontier, seen).persist()
+    _t = _trace(f"round{rnd} construct:candidates", _t)
 
     # 2. robots gate
     allowed, blocked = robots_filter(candidates, robots)
@@ -269,10 +272,12 @@ def run_round(
     # the codegen cache (sized in session.py) makes rounds 1..R compile
     # nothing new — JIT cost becomes O(1) in the number of rounds, on a
     # real cluster as on this box.
+    _t = _trace(f"round{rnd} construct:politeness-split", _t)
     round_df = frontier.sparkSession.createDataFrame(
         [(rnd,)], schema="__round int"
     )
     fetched = fetched.crossJoin(F.broadcast(round_df)).persist()
+    _t = _trace(f"round{rnd} construct:round-df", _t)
 
     # 4. deterministic global order (scalable rank, not a single window).
     # The rank offsets are a LAZY subplan (operators/ranking.py) — no
@@ -313,12 +318,14 @@ def run_round(
         )
         write_table(df, os.path.join(out_dir, name), mode="overwrite")
 
+    _t = _trace(f"round{rnd} construct:rank", _t)
     fs = [
         pool.submit(_write, crawl_order, "crawl_order"),
         # the rank-offset counts collect: one small job over the (by then
         # cached) rank intermediate, overlapped with the writes
         pool.submit(rank_info.resolve),
     ]
+    _t = _trace(f"round{rnd} submit:crawl_order", _t)
 
     # 5. seen delta (not written — identical to crawl_order's url column)
     seen_delta = fetched.select("canonical_url")
@@ -355,6 +362,7 @@ def run_round(
         .select(*C["parsed2"])
         .persist()
     )
+    _t = _trace(f"round{rnd} construct:parsed", _t)
     # full article envelope (schemas.ARTICLES; reference envelope
     # weibo.py:215-231, twitter.py:86-103): author/time/content_type/
     # version/raw passthrough/attachments, FROZEN ENVELOPE RULES; crawl
@@ -383,6 +391,7 @@ def run_round(
             _write, atts_new.observe(obs_atts, C["n"]), "attachments_new"
         )
     )
+    _t = _trace(f"round{rnd} submit:articles+atts", _t)
     links = (
         parsed.select(*C["links_sel"])
         .withColumn("dst_url", C["dst_url"])

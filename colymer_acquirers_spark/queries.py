@@ -496,8 +496,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lexicographic min over fixed-length hex == numeric min
     def minhash_signature(spark, sf):
         d = _t(spark, sf, "documents")
+        # min over a doc's distinct words == min over its word multiset,
+        # so array_distinct (per-row, no shuffle) cuts the 4 md5+conv
+        # evaluations to once per distinct word (r8; 2.3x fewer hashed
+        # rows on this fixture) with bit-identical signatures
         words = d.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
         )
         aggs = [
             F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{j}")).cast("binary"))).alias(f"sig{j}")
@@ -648,57 +653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash16"] = simhash16
 
     # dedup-ngram-jaccard — exact word-3-gram Jaccard for pairs sharing a
-    # shingle (candidate-bucketed self-join, never a cross join)
-    def ngram_jaccard_pairs_sql(spark, sf):
-        d = _t(spark, sf, "documents")
-        toks = F.split(F.col("text"), " ")
-        shingles = (
-            d.filter(F.size(toks) >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 2),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-                    )
-                ).alias("sh"),
-            )
-            .dropDuplicates(["doc_id", "sh"])
-        )
-        counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        a, b = shingles.alias("a"), shingles.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-            )
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-        cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-        return (
-            inter.join(ca, "id_a")
-            .join(cb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= 0.05)
-        )
-    # registered below as one merged entry (exact + dfcap variants)
+    # shingle (candidate-bucketed self-join, never a cross join).
+    # r8 plan sharing: one invocation of ngram_jaccard_pairs_sql used to
+    # re-run the explode + (doc_id, sh) dedup shuffle FOUR times (counts,
+    # both self-join sides, DF filter), and ngram_jaccard_variants doubled
+    # that again across its two variants — the shingle set is now built
+    # once per call, persisted, and passed to every consumer.
+    def _ngram_shingled(spark, sf, persisted=None):
+        from pyspark.storagelevel import StorageLevel
 
-    # dedup-ngram-jaccard with the DF cap (the web-scale configuration):
-    # shingles in > max_doc_freq docs are dropped before the self-join, so
-    # no stop-shingle bucket goes quadratic; jaccard is underestimated for
-    # stop-shingle-heavy pairs (recall tradeoff, denominators stay exact)
-    def ngram_jaccard_dfcap(spark, sf, max_doc_freq: int = 8):
         d = _t(spark, sf, "documents")
         toks = F.split(F.col("text"), " ")
         shingled = (
@@ -713,16 +676,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("sh"),
             )
             .dropDuplicates(["doc_id", "sh"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if persisted is not None:
+            persisted.append(shingled)
         counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        rare = (
-            shingled.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        capped = shingled.join(rare, on="sh", how="left_semi")
-        a, b = capped.alias("a"), capped.alias("b")
+        return shingled, counts
+
+    def _ngram_pairs_from(shingled, counts, threshold=0.05):
+        a, b = shingled.alias("a"), shingled.alias("b")
         inter = (
             a.join(
                 b,
@@ -746,14 +708,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                 ).alias("jaccard"),
             )
-            .filter(F.col("jaccard") >= 0.05)
+            .filter(F.col("jaccard") >= threshold)
         )
+
+    def ngram_jaccard_pairs_sql(spark, sf, persisted=None):
+        shingled, counts = _ngram_shingled(spark, sf, persisted)
+        return _ngram_pairs_from(shingled, counts)
+    # registered below as one merged entry (exact + dfcap variants)
+
+    # dedup-ngram-jaccard with the DF cap (the web-scale configuration):
+    # shingles in > max_doc_freq docs are dropped before the self-join, so
+    # no stop-shingle bucket goes quadratic; jaccard is underestimated for
+    # stop-shingle-heavy pairs (recall tradeoff, denominators stay exact —
+    # counts always derive from the UNCAPPED shingle set)
+    def _ngram_dfcap_from(shingled, counts, max_doc_freq: int = 8):
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        capped = shingled.join(rare, on="sh", how="left_semi")
+        return _ngram_pairs_from(capped, counts)
+
     # one entry, both configurations (VERDICT r5 #1 window consolidation):
     # the exact all-pairs run and the DF-capped web-scale run, stacked with
     # a variant discriminator — same oracle technique, half the window cost
     def ngram_jaccard_variants(spark, sf):
-        exact = ngram_jaccard_pairs_sql(spark, sf)
-        capped = ngram_jaccard_dfcap(spark, sf)
+        shingled, counts = _ngram_shingled(spark, sf)
+        exact = _ngram_pairs_from(shingled, counts)
+        capped = _ngram_dfcap_from(shingled, counts)
         return exact.select(
             F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
         ).unionByName(
@@ -778,7 +762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # materialize the pair list ONCE: both algorithms' edge-list
         # checkpoints otherwise re-run the full n-gram Jaccard pair
         # generation (the expensive half of this entry)
-        pairs = flat_checkpoint(ngram_jaccard_pairs_sql(spark, sf), eager=True)
+        cached: list = []
+        pairs = flat_checkpoint(
+            ngram_jaccard_pairs_sql(spark, sf, persisted=cached), eager=True
+        )
+        for c in cached:  # the shingle cache is dead once pairs materialize
+            c.unpersist()
         label = near_dup_components(pairs)
         star = near_dup_components(pairs, method="star").select(
             F.col("id"), F.col("component").alias("component_star")

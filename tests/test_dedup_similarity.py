@@ -316,6 +316,26 @@ def test_ivf_assignment_and_recall(vectors):
     assert 3 in part and len(set(part) & set(exact)) >= 3
 
 
+def test_ivf_assign_null_vector_falls_back_to_bucket_zero(spark):
+    """ADVICE r7 regression: a NULL embedding must land in bucket 0 (the
+    pre-r7 when-chain behavior), not drop out of the inverted file with a
+    NULL cluster (the r7 linear-argmin rewrite's silent change)."""
+    from pyspark.sql import types as T
+
+    from colymer_acquirers_spark.operators.similarity import ivf_assign
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, None), (2, [10.0, 10.0])], schema
+    )
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    got = {r["vec_id"]: r["cluster"] for r in ivf_assign(df, cents).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
 def test_minhash_verified_precision_one_and_recall(spark):
     """Candidate→verify composition: every emitted pair truly clears the
     word-Jaccard threshold (precision 1 by construction), and recall vs
