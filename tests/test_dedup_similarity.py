@@ -402,6 +402,40 @@ def test_near_dup_components_matches_union_find(spark):
     assert got[30] == 2 and got[8] == 5 and got[100] == 40
 
 
+def test_components_convergence_counts_ride_eager_checkpoints(spark, monkeypatch):
+    """VERDICT r7 #5: the loop's convergence count is EXACT only because
+    it rides an Observation on an EAGER flat_checkpoint — one job over
+    every partition. A lazy checkpoint would leave the Observation
+    unresolved (the loop would stall or read stale counts) and an
+    observe moved under a shared cache co-materialization would see a
+    PARTIAL count. Pin the contract structurally: every checkpoint the
+    label-prop loop takes is eager, and on a known-diameter chain the
+    iteration count (== loop checkpoints after the edge materialization)
+    is exactly diameter + 1 (the +1 is the zero-changes confirming pass)
+    — an undercounting convergence check would exit earlier and OVER-
+    SPLIT, which the value assertion also catches."""
+    import colymer_acquirers_spark.operators.dedup as dedup_mod
+    from colymer_acquirers_spark.operators.ckpt import flat_checkpoint
+
+    calls = []
+
+    def spying_ckpt(df, eager=True):
+        calls.append(eager)
+        return flat_checkpoint(df, eager=eager)
+
+    monkeypatch.setattr(dedup_mod, "flat_checkpoint", spying_ckpt)
+    # path 0-1-2-...-6: diameter 6; min-label propagation needs 6
+    # label-moving iterations + 1 confirming iteration
+    chain = [(i, i + 1) for i in range(6)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in dedup_mod.near_dup_components(pairs).collect()}
+    assert got == {i: 0 for i in range(7)}
+    assert all(calls), f"loop checkpoint went lazy: {calls}"
+    # 1 edge checkpoint + (diameter + 1) per-iteration label checkpoints
+    assert len(calls) == 1 + 6 + 1, calls
+
+
 def test_dedup_keep_representatives(spark):
     from colymer_acquirers_spark.operators.dedup import dedup_keep_representatives
 
