@@ -19,6 +19,7 @@ loss cannot happen because driver and executors share one JVM).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -50,20 +51,44 @@ def flat_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+_WIDTH_LOCK = threading.Lock()
+_WIDTH_STATE: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, original)
+
+
 @contextmanager
 def scoped_shuffle_width(spark, width: int):
     """Temporarily pin ``spark.sql.shuffle.partitions`` (e.g. to a width
     DERIVED from a materialized row count — guide §2: partitioning should
     adapt to data size, not sit at a constant tuned for one scale).  The
-    previous value is restored on exit; plans EXECUTED inside the scope
-    pick up the pinned width, so callers must run their actions inside."""
+    original value is restored when the OUTERMOST scope exits; plans
+    EXECUTED inside the scope pick up the pinned width, so callers must
+    run their actions inside.
+
+    Concurrency-safe by refcount: scopes may be entered from several
+    driver threads of one session (near_dup_clusters runs its two CC
+    algorithms concurrently). Overlapping scopes are last-writer-wins on
+    the width — any width produces identical results here (the loops'
+    aggregations are partitioning-independent); what the refcount
+    guarantees is that the SESSION value restored at the end is the
+    pre-scope original, never a concurrent scope's temporary pin."""
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(int(width)))
+    sid = id(spark)
+    with _WIDTH_LOCK:
+        depth, orig = _WIDTH_STATE.get(sid, (0, ""))
+        if depth == 0:
+            orig = spark.conf.get(key)
+        _WIDTH_STATE[sid] = (depth + 1, orig)
+        spark.conf.set(key, str(int(width)))
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _WIDTH_LOCK:
+            depth, orig = _WIDTH_STATE[sid]
+            if depth == 1:
+                spark.conf.set(key, orig)
+                del _WIDTH_STATE[sid]
+            else:
+                _WIDTH_STATE[sid] = (depth - 1, orig)
 
 
 def width_for_rows(spark, n_rows: int, rows_per_partition: int = 1 << 20) -> int:

@@ -768,10 +768,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         for c in cached:  # the shingle cache is dead once pairs materialize
             c.unpersist()
-        label = near_dup_components(pairs)
-        star = near_dup_components(pairs, method="star").select(
-            F.col("id"), F.col("component").alias("component_star")
-        )
+        # the two algorithms are independent given the checkpointed pair
+        # list, but each is a driver-blocking iteration loop of small jobs
+        # — run them CONCURRENTLY (guide §2.6 overlap-independent-jobs) so
+        # one algorithm's jobs back-fill the idle cores of the other's
+        # loop latency. scoped_shuffle_width is refcounted for exactly
+        # this overlap (operators/ckpt.py).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            star_f = pool.submit(near_dup_components, pairs, method="star")
+            label = near_dup_components(pairs)
+            star = star_f.result().select(
+                F.col("id"), F.col("component").alias("component_star")
+            )
         return label.join(star, "id")
     q["near_dup_clusters"] = near_dup_clusters
 
@@ -2213,22 +2223,55 @@ def oracle_sql() -> dict[str, str]:
 # unchanged and silently served stale crawl outputs; deriving it from the
 # imports means a new dependency can't be forgotten).
 _CACHE_KEY_ROOTS = ("plans/crawl.py", "plans/round.py", "sources/synth.py")
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from|import)\s+colymer_acquirers_spark\.([a-zA-Z0-9_.]+)",
-    re.MULTILINE,
-)
-# `from colymer_acquirers_spark import schemas, queries` — dotless form
-_IMPORT_PKG_RE = re.compile(
-    r"^\s*from\s+colymer_acquirers_spark\s+import\s+([a-zA-Z0-9_, ]+)",
-    re.MULTILINE,
-)
+_PKG_NAME = "colymer_acquirers_spark"
+
+
+def _module_imports(rel: str, src: str) -> list[str]:
+    """Dotted in-package module names imported by ``src`` (repo-relative
+    module file ``rel``), via the ``ast`` module (ADVICE r7: the former
+    regex scanner was blind to parenthesized dotless imports and to
+    RELATIVE imports — a dependency added in either style silently
+    dropped out of the flagship cache key, failing open to a stale cached
+    crawl). ast sees every import form, top-level and function-local."""
+    import ast
+
+    out: list[str] = []
+    pkg_parts = rel.replace("\\", "/").split("/")[:-1]  # dirs inside the pkg
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG_NAME + "."):
+                    out.append(a.name[len(_PKG_NAME) + 1:])
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                mod = node.module or ""
+                if mod == _PKG_NAME:
+                    out.extend(a.name for a in node.names)
+                elif mod.startswith(_PKG_NAME + "."):
+                    sub = mod[len(_PKG_NAME) + 1:]
+                    out.append(sub)
+                    # `from pkg.subpkg import mod` — the names may be modules
+                    out.extend(f"{sub}.{a.name}" for a in node.names)
+            else:
+                # relative import: resolve against this module's package
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                mod = node.module or ""
+                prefix = ".".join(base + ([mod] if mod else []))
+                if prefix:
+                    out.append(prefix)
+                out.extend(
+                    f"{prefix}.{a.name}" if prefix else a.name
+                    for a in node.names
+                )
+    return out
 
 
 @functools.lru_cache(maxsize=1)
 def _cache_key_modules() -> tuple:
-    """BFS over `from/import colymer_acquirers_spark.X` statements (top-level
-    AND function-local) starting at the crawl roots; returns the sorted
-    repo-relative paths of every reachable module file in the package."""
+    """BFS over in-package imports (every style the ast sees: dotted,
+    parenthesized dotless, relative, function-local) starting at the
+    crawl roots; returns the sorted repo-relative paths of every
+    reachable module file in the package."""
     import os
 
     pkg = os.path.dirname(os.path.abspath(__file__))
@@ -2241,14 +2284,14 @@ def _cache_key_modules() -> tuple:
         seen.add(rel)
         with open(path, "r", encoding="utf-8") as fh:
             src = fh.read()
-        dotteds = list(_IMPORT_RE.findall(src))
-        for names in _IMPORT_PKG_RE.findall(src):
-            dotteds.extend(n.strip() for n in names.split(",") if n.strip())
-        for dotted in dotteds:
+        for dotted in _module_imports(rel, src):
             base = dotted.replace(".", "/")
-            # `from pkg.mod import name` and `from pkg.subpkg import mod`
-            # both appear; try the dotted path and its parent as modules
-            for cand in (base + ".py", base.rsplit("/", 1)[0] + ".py"):
+            # a dotted name may denote a module, or a name inside its
+            # parent module; try both file interpretations
+            cands = [base + ".py"] if base else []
+            if "/" in base:
+                cands.append(base.rsplit("/", 1)[0] + ".py")
+            for cand in cands:
                 if os.path.isfile(os.path.join(pkg, cand)):
                     todo.append(cand)
     return tuple(sorted(seen))

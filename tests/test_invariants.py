@@ -152,3 +152,49 @@ def test_budget_from_delay_matches_interval_semantics(spark):
         .collect()
     )
     assert per_host and all(r["n"] <= 3 for r in per_host), per_host
+
+
+def test_flagship_cache_key_covers_crawl_semantic_modules():
+    """ADVICE r7 (medium): the flagship cache key's import scanner must
+    cover every crawl-semantic module regardless of import STYLE — the
+    old regex scanner was blind to parenthesized dotless imports and to
+    relative imports, so a future dependency added in either style would
+    silently drop out of the key and revive the stale-cached-crawl bug.
+    The scanner is now ast-based; this pins a hand-maintained superset
+    contract so a scanner regression fails loudly."""
+    from colymer_acquirers_spark.queries import _cache_key_modules
+
+    must_have = {
+        "plans/crawl.py", "plans/round.py", "sources/synth.py",
+        "sources/tables.py", "schemas.py",
+        "operators/politeness.py", "operators/ranking.py",
+        "operators/seen.py", "operators/seen_bloom.py",
+        "operators/seen_cuckoo.py", "operators/ckpt.py",
+        "functions/canonical.py", "functions/parse.py",
+        "functions/parse_expr.py", "functions/envelope.py",
+        "functions/envelope_expr.py",
+    }
+    got = set(_cache_key_modules())
+    assert must_have <= got, sorted(must_have - got)
+
+
+def test_cache_key_scanner_sees_all_import_styles(tmp_path, monkeypatch):
+    """The ast scanner resolves dotted, parenthesized-dotless, and
+    relative imports (the two styles the regex scanner missed)."""
+    from colymer_acquirers_spark.queries import _module_imports
+
+    src = (
+        "from colymer_acquirers_spark import (\n"
+        "    schemas,\n    queries,\n)\n"
+        "from colymer_acquirers_spark.operators.seen import merge_frontier\n"
+        "import colymer_acquirers_spark.functions.canonical as c\n"
+        "def f():\n"
+        "    from .politeness import robots_filter\n"
+        "    from ..functions import parse\n"
+    )
+    got = set(_module_imports("operators/ranking.py", src))
+    assert {"schemas", "queries"} <= got
+    assert "operators.seen" in got
+    assert "functions.canonical" in got
+    assert "operators.politeness" in got
+    assert any(x in got for x in ("functions.parse", "functions")), got
