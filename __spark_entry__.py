@@ -58,7 +58,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_candidate_pairs(spark, sf):
         from colymer_acquirers_spark.operators.dedup import minhash_lsh_pairs
 
-        return minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", 16, 8)
+        # cache hygiene: a persisted intermediate must not outlive one
+        # invocation (CacheManager would serve it to the next run —
+        # queries._drop_live_caches)
+        _q._drop_live_caches()
+        cached: list = []
+        pairs = minhash_lsh_pairs(
+            _docs(spark, sf), "doc_id", "text", 16, 8, persisted=cached
+        )
+        _q._register_live_caches(cached)
+        return pairs
     out["minhash_lsh_candidate_pairs"] = minhash_lsh_candidate_pairs
 
     def minhash_near_dups_verified_q(spark, sf):
@@ -70,9 +79,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from pyspark.sql import functions as F
 
-        return minhash_near_dups_verified(
-            _docs(spark, sf), "doc_id", "text", threshold=0.5
+        _q._drop_live_caches()
+        cached: list = []
+        verified = minhash_near_dups_verified(
+            _docs(spark, sf), "doc_id", "text", threshold=0.5, persisted=cached
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+        _q._register_live_caches(cached)
+        return verified
     out["minhash_near_dups_verified"] = minhash_near_dups_verified_q
 
     def simhash_near_dup_pairs(spark, sf):
@@ -362,9 +375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "n_lines_removed",
         )
+        _q._drop_live_caches()
+        cached: list = []
         pairs = minhash_near_dups_verified(
-            cleaned, "doc_id", "text_clean_sp", threshold=0.5
+            cleaned, "doc_id", "text_clean_sp", threshold=0.5, persisted=cached
         )
+        _q._register_live_caches(cached)
         comp = near_dup_components(pairs.select("id_a", "id_b"))
         out_df = (
             docs.select("doc_id", "url", "round")

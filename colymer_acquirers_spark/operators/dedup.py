@@ -87,6 +87,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     bucket_cap: int | None = None,
     hot_bucket_warn: int | None = 10_000,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -118,6 +119,11 @@ def minhash_lsh_pairs(
     extra job. The banded rows are lazily checkpointed first, so the
     expensive shingle→minhash lineage is materialized once and shared
     by the diagnostic and both self-join sides.
+
+    ``persisted`` (optional out-param, same contract as
+    ``politeness_split``): any frame this call persists is appended so
+    the CALLER owns the unpersist — catalog queries must not let a
+    cached intermediate outlive one invocation (queries._drop_live_caches).
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -155,6 +161,8 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(banded)
         max_n = (
             banded.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -187,6 +195,8 @@ def minhash_lsh_pairs(
         from pyspark.storagelevel import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(banded)
         stats = banded.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("__n"),
             F.min(F.col(id_col)).alias("__hub"),
@@ -684,6 +694,7 @@ def minhash_near_dups_verified(
     threshold: float = 0.5,
     n_hashes: int = 16,
     bands: int = 4,
+    persisted: list | None = None,
 ) -> DataFrame:
     """The production MinHash dedup composition: banded-LSH CANDIDATES →
     exact word-set Jaccard VERIFICATION ≥ ``threshold``.
@@ -697,7 +708,9 @@ def minhash_near_dups_verified(
     """
     from pyspark.storagelevel import StorageLevel
 
-    cand = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands)
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, bands, persisted=persisted
+    )
     # each candidate row buys an array_intersect over full word sets —
     # keep the verify wide
     cand = pin_shuffle_width(cand, "id_a")
@@ -706,6 +719,8 @@ def minhash_near_dups_verified(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(words)
     wa = words.select(
         F.col(id_col).alias("id_a"),
         F.col("__ws").alias("__wa"),
