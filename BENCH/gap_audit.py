@@ -12,13 +12,15 @@ ELOG = "/tmp/elog_gap"
 shutil.rmtree(ELOG, ignore_errors=True); os.makedirs(ELOG)
 os.environ["SPARK_GRAFT_CPUS"] = str(CPUS)
 os.environ["SPARK_GRAFT_CONF"] = (
-    "spark.eventLog.enabled=true;spark.eventLog.dir=" + ELOG)
+    "spark.eventLog.enabled=true;spark.eventLog.compress=false;"
+    "spark.eventLog.dir=" + ELOG)
 import bench
 from colymer_acquirers_spark.session import get_spark
 bench._use_tmpfs_dirs()
 os.environ.pop("SPARK_GRAFT_CONF", None)  # _use_tmpfs_dirs appended; rebuild
 os.environ["SPARK_GRAFT_CONF"] = (
-    "spark.eventLog.enabled=true;spark.eventLog.dir=" + ELOG
+    "spark.eventLog.enabled=true;spark.eventLog.compress=false;"
+    "spark.eventLog.dir=" + ELOG
     + ";spark.local.dir=/dev/shm/spark-local")
 spark = get_spark(app_name="gap_audit", master=f"local[{CPUS}]")
 w1 = bench._crawl_bench(spark)

@@ -217,6 +217,21 @@ def run_round(
 
     metrics_full=False skips the metrics-only jobs (candidate/robots/new-url
     counts become -1); results are unchanged.
+
+    r8 NOTE (negative result, kept for the record): a cross-round overlap
+    (VERDICT r7 #2 — return once crawl_order/attachments_new/frontier_next
+    are durable so round K+1's plan construction hides under the
+    articles/lineage drain, manifest commits deferred in round order) was
+    built and A/B-measured here: warm-crawl wall NEUTRAL in all pairs at
+    BOTH local[32] (+0.4/+0.6/+2.4%) and local[8], and the event-log gap
+    audit unchanged (2.2 s driver-only either way). The reason is
+    structural: frontier_next transitively contains the round's dominant
+    compute (parse → link expansion → merge), so it is both the
+    dependency of round K+1 AND the round's last-finishing job — there is
+    no tail left to hide construction under. Reverted; what stayed is the
+    persist-analysis offload and dependency-first submission order below,
+    which cut the measured main-thread construction phase from ~1.2 s to
+    ~0.5 s per round.
     """
     _t = time.monotonic()
     C = _round_cols(parse_impl)
@@ -360,7 +375,6 @@ def run_round(
         joined.filter(C["html_notnull"])
         .select(*C["parsed1"])
         .select(*C["parsed2"])
-        .persist()
     )
     _t = _trace(f"round{rnd} construct:parsed", _t)
     # full article envelope (schemas.ARTICLES; reference envelope
@@ -369,8 +383,58 @@ def run_round(
     # provenance (priority, depth) as typed columns
     articles = parsed.select(*C["articles"])
     obs_articles = Observation()
+    links = (
+        parsed.select(*C["links_sel"])
+        .withColumn("dst_url", C["dst_url"])
+        .filter(C["dst_notnull"])
+    )
+    # persist() runs the Catalyst ANALYZER eagerly (CacheManager.cacheQuery
+    # analyzes the plan to register it), and the parse/envelope tree costs
+    # ~0.25-1 s of driver-JVM time per round — measured as the dominant
+    # main-thread construction phase. Registering the two parse-side
+    # caches on a pool thread takes that off the serial path; every write
+    # that reads them gates on the future so no consumer job can PLAN
+    # before the cache entries exist (planning before registration would
+    # silently recompute the parse once per consumer).
+    def _register_parse_caches():
+        parsed.persist()
+        links.persist()
+
+    # submitted BEFORE any dependent _write_after task: the pool is FIFO
+    # with 8 workers and at most two earlier tasks (crawl_order, rank), so
+    # this task always gets a worker ahead of anything that blocks on it
+    parse_cached = pool.submit(_register_parse_caches)
+
+    def _write_after(df, name):
+        parse_cached.result()
+        _write(df, name)
+
+    # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
+    seen_now = (
+        seen.select("canonical_url").union(seen_delta)
+        if seen is not None
+        else seen_delta
+    )
+    new_cands = links.select(*C["new_cands_sel"]).join(
+        seen_now, on="canonical_url", how="left_anti"
+    )
+
+    # 9. merge next frontier (boundary-deferred rows re-enter unchanged).
+    # Submission order: the dependency-bearing outputs (frontier_next —
+    # the next round's input — and attachments_new) are submitted before
+    # articles/lineage, so FIFO gives the critical-path job first claim
+    # on freed slots while the post-parse tail backfills.
+    nxt = carryover.select(*C["frontier_cols"]).unionByName(new_cands)
+    if boundary_deferred is not None:
+        nxt = nxt.unionByName(boundary_deferred.select(*C["frontier_cols"]))
+    frontier_next = merge_frontier(nxt).withColumn("host", C["host"])
+    obs_frontier = Observation()
     fs.append(
-        pool.submit(_write, articles.observe(obs_articles, C["n"]), "articles")
+        pool.submit(
+            _write_after,
+            frontier_next.observe(obs_frontier, C["n"]),
+            "frontier_next",
+        )
     )
     # P7: pinned-entry-once state — each attachment (keyed by id = md5 of
     # its absolute url; all other columns are functions of the url) enters
@@ -388,44 +452,19 @@ def run_round(
     obs_atts = Observation()
     fs.append(
         pool.submit(
-            _write, atts_new.observe(obs_atts, C["n"]), "attachments_new"
+            _write_after, atts_new.observe(obs_atts, C["n"]), "attachments_new"
         )
     )
-    _t = _trace(f"round{rnd} submit:articles+atts", _t)
-    links = (
-        parsed.select(*C["links_sel"])
-        .withColumn("dst_url", C["dst_url"])
-        .filter(C["dst_notnull"])
-        .persist()
+    _t = _trace(f"round{rnd} submit:frontier+atts", _t)
+    fs.append(
+        pool.submit(
+            _write_after, articles.observe(obs_articles, C["n"]), "articles"
+        )
     )
     lineage = links.select(*C["lineage_sel"]).dropDuplicates(
         ["src_url", "dst_url"]
     )
-    fs.append(pool.submit(_write, lineage, "lineage"))
-
-    # 8. expand: per dst, tuple-min over parents; exclude seen ∪ this round
-    seen_now = (
-        seen.select("canonical_url").union(seen_delta)
-        if seen is not None
-        else seen_delta
-    )
-    new_cands = links.select(*C["new_cands_sel"]).join(
-        seen_now, on="canonical_url", how="left_anti"
-    )
-
-    # 9. merge next frontier (boundary-deferred rows re-enter unchanged)
-    nxt = carryover.select(*C["frontier_cols"]).unionByName(new_cands)
-    if boundary_deferred is not None:
-        nxt = nxt.unionByName(boundary_deferred.select(*C["frontier_cols"]))
-    frontier_next = merge_frontier(nxt).withColumn("host", C["host"])
-    obs_frontier = Observation()
-    fs.append(
-        pool.submit(
-            _write,
-            frontier_next.observe(obs_frontier, C["n"]),
-            "frontier_next",
-        )
-    )
+    fs.append(pool.submit(_write_after, lineage, "lineage"))
     _t = _trace(f"round{rnd} plan-construct+submit", _t)
 
     # metric-only count jobs join the same barrier: they read the persisted
@@ -437,9 +476,13 @@ def run_round(
         if (metrics_full and robots is not None)
         else None
     )
-    n_new = (
-        new_cands.select("canonical_url").distinct().count() if metrics_full else -1
-    )
+    if metrics_full:
+        # this count plans against the links cache on the calling thread —
+        # it must not plan before the cache entry exists (see _write_after)
+        parse_cached.result()
+        n_new = new_cands.select("canonical_url").distinct().count()
+    else:
+        n_new = -1
     for f in fs:
         f.result()
     pool.shutdown(wait=True)
