@@ -130,21 +130,32 @@ def minhash_lsh_pairs(
     # band key stays in the md5 family (concat the band's sig values, then
     # _md5_long) rather than xxhash64: the DuckDB oracle replicates the
     # exact same computation, so engine and oracle agree bit-for-bit even
-    # in the (negligible) event of a key collision
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            _md5_long(
-                F.concat_ws(
-                    "|", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
-                )
-            ).alias("band_key"),
+    # in the (negligible) event of a key collision.
+    # Each row carries the doc's FULL band-key array (__bks, `bands`
+    # longs) besides its exploded (band_idx, band_key): the self-join
+    # below uses it to emit a colliding pair ONLY at the first band where
+    # the two docs agree, which replaces the former
+    # dropDuplicates(id_a, id_b) — a shuffle of the raw expansion output,
+    # up to `bands`× the distinct pair count (near-dup-heavy corpora
+    # collide in EVERY band) — with ≤ bands-1 array probes per joined row.
+    key_cols = [
+        _md5_long(
+            F.concat_ws(
+                "|", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            )
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band_idx", "bk.band_key")
+    banded = (
+        sigs.select(F.col(id_col), F.array(*key_cols).alias("__bks"))
+        .select(F.col(id_col), "__bks", F.posexplode("__bks"))
+        .select(
+            id_col,
+            "__bks",
+            F.col("pos").alias("band_idx"),
+            F.col("col").alias("band_key"),
+        )
+    )
     if bucket_cap is None and hot_bucket_warn is not None:
         # persist (NOT localCheckpoint) BEFORE the width pin: the diagnostic
         # aggregation and the self-join share the materialized
@@ -242,6 +253,17 @@ def minhash_lsh_pairs(
     # partitions — something a user-pinned exchange opts out of.
     a = banded.alias("a")
     b = pin_shuffle_width(banded, "band_idx", "band_key").alias("b")
+    # emit each colliding pair exactly once — at the FIRST band where the
+    # two docs agree (a pair matching at band_idx must disagree at every
+    # earlier band to pass): the distinct-pair set is identical to the old
+    # dropDuplicates(id_a, id_b), with zero extra shuffle
+    first_collision = F.when(F.col("a.band_idx") == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.sequence(F.lit(0), F.col("a.band_idx") - 1),
+            lambda j: F.element_at(F.col("a.__bks"), j + 1)
+            != F.element_at(F.col("b.__bks"), j + 1),
+        )
+    )
     return (
         a.join(
             b,
@@ -249,10 +271,10 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(first_collision)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -745,37 +745,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _ngram_pairs_from(shingled, counts)
     # registered below as one merged entry (exact + dfcap variants)
 
-    # dedup-ngram-jaccard with the DF cap (the web-scale configuration):
-    # shingles in > max_doc_freq docs are dropped before the self-join, so
-    # no stop-shingle bucket goes quadratic; jaccard is underestimated for
-    # stop-shingle-heavy pairs (recall tradeoff, denominators stay exact —
-    # counts always derive from the UNCAPPED shingle set)
-    def _ngram_dfcap_from(shingled, counts, max_doc_freq: int = 8):
-        rare = (
-            shingled.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        capped = shingled.join(rare, on="sh", how="left_semi")
-        return _ngram_pairs_from(capped, counts)
+    # dedup-ngram-jaccard DF-cap semantics (the web-scale configuration):
+    # shingles in > max_doc_freq docs contribute nothing to the
+    # intersection, so no stop-shingle bucket goes quadratic at scale;
+    # jaccard is underestimated for stop-shingle-heavy pairs (recall
+    # tradeoff, denominators stay exact — counts always derive from the
+    # UNCAPPED shingle set). Since r8 the dfcap variant is computed inside
+    # ngram_jaccard_variants' single expansion join (inter_rare below);
+    # the standalone capped-join formulation lives on in
+    # operators/dedup.ngram_jaccard_pairs(max_doc_freq=...).
 
     # one entry, both configurations (VERDICT r5 #1 window consolidation):
     # the exact all-pairs run and the DF-capped web-scale run, stacked with
-    # a variant discriminator — same oracle technique, half the window cost
+    # a variant discriminator — same oracle technique, half the window cost.
+    # r8: ONE self-join serves BOTH variants — the dfcap intersection count
+    # is just the shared shingles whose document frequency is ≤ the cap, so
+    # attaching each shingle's DF to the build side lets a single
+    # pair-expansion + aggregation produce (inter, inter_rare) together,
+    # replacing the second self-join + rare-semi-join the dfcap variant ran
+    # (the expansion join is the dominant cost once the shingle set is
+    # shared). A pair sharing ONLY capped-out shingles gets inter_rare=0 →
+    # jaccard 0 < threshold → filtered, exactly like its absence from the
+    # old capped join. Denominators stay uncapped (documented semantics).
     def ngram_jaccard_variants(spark, sf):
         _drop_live_caches()
         cached: list = []
         shingled, counts = _ngram_shingled(spark, sf, persisted=cached)
         _register_live_caches(cached)
-        exact = _ngram_pairs_from(shingled, counts)
-        capped = _ngram_dfcap_from(shingled, counts)
-        return exact.select(
-            F.lit("exact").alias("variant"), "id_a", "id_b", "jaccard"
-        ).unionByName(
-            capped.select(
-                F.lit("dfcap").alias("variant"), "id_a", "id_b", "jaccard"
+        max_doc_freq = 8  # same cap as _ngram_dfcap_from
+        dfc = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        a = shingled.join(dfc, "sh").alias("a")
+        b = shingled.alias("b")
+        grouped = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.count(
+                    F.when(F.col("a.__df") <= max_doc_freq, F.lit(1))
+                ).alias("inter_rare"),
+            )
+        )
+        ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        both = grouped.join(ca, "id_a").join(cb, "id_b")
+
+        def _jacc(inter_col):
+            return inter_col / (F.col("n_a") + F.col("n_b") - inter_col)
+
+        # one row per (pair, variant) via explode — a unionByName of two
+        # branches would re-execute the expansion join once per branch
+        return (
+            both.select(
+                "id_a",
+                "id_b",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("exact").alias("variant"),
+                            _jacc(F.col("inter")).alias("jaccard"),
+                        ),
+                        F.struct(
+                            F.lit("dfcap").alias("variant"),
+                            _jacc(F.col("inter_rare")).alias("jaccard"),
+                        ),
+                    )
+                ).alias("v"),
+            )
+            .filter(F.col("v.jaccard") >= 0.05)
+            .select("v.variant", "id_a", "id_b", "v.jaccard")
         )
     q["ngram_jaccard_variants"] = ngram_jaccard_variants
 
