@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from colymer_acquirers_spark import fragments
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -120,6 +122,7 @@ def canonicalize_url(col: Column | str) -> Column:
     return _canonicalize_url_build(col)
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _canonicalize_url_cached(col: str) -> Column:
     return _canonicalize_url_build(F.col(col))
@@ -157,6 +160,7 @@ def host_of(col: Column | str) -> Column:
     return F.regexp_extract(col, r"^[a-z]+://([^/]*)", 1)
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _host_of_cached(col: str) -> Column:
     return F.regexp_extract(F.col(col), r"^[a-z]+://([^/]*)", 1)

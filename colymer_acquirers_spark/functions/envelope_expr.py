@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from colymer_acquirers_spark import fragments
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -306,6 +308,7 @@ def envelope_expr(
     return _envelope_expr(html, base_url, is_binary)
 
 
+@fragments.register
 @lru_cache(maxsize=32)
 def _envelope_expr_cached(html: str, base_url: str, is_binary: bool) -> Column:
     return _envelope_expr(F.col(html), F.col(base_url), is_binary)

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from colymer_acquirers_spark import fragments
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -242,6 +244,7 @@ def parse_page_expr(
     )
 
 
+@fragments.register
 @lru_cache(maxsize=32)
 def _parse_page_expr_cached(html: str, base_url: str, is_binary: bool) -> Column:
     return F.struct(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
+
+from colymer_acquirers_spark import fragments
 from pyspark.sql import functions as F
 
 PATH_RE = r"^[a-z]+://[^/]*(/.*)$"
@@ -29,6 +31,7 @@ SORT_KEYS = ["priority", "depth", "canonical_url"]
 # zero-task gaps in BENCH/gap_audit.py).
 
 
+@fragments.register
 @lru_cache(maxsize=8)
 def _path_expr(url_col: str):
     return F.regexp_extract(F.col(url_col), PATH_RE, 1)
@@ -119,6 +122,7 @@ def compile_robots(robots: DataFrame) -> DataFrame:
     )
 
 
+@fragments.register
 @lru_cache(maxsize=1)
 def _robots_verdict_exprs():
     applicable = F.filter(
@@ -192,6 +196,7 @@ def politeness_split(
     return fetched, carryover
 
 
+@fragments.register
 @lru_cache(maxsize=8)
 def _split_fragments(default_budget: int, skew_salt: int) -> dict:
     """Plan-invariant Column fragments of politeness_split, built once per

@@ -24,12 +24,15 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
+
+from colymer_acquirers_spark import fragments
 from pyspark.sql import functions as F
 
 _PID = "__rank_pid"
 _RN = "__rank_rn"
 
 
+@fragments.register
 @lru_cache(maxsize=16)
 def _rank_fragments(keys: tuple) -> dict:
     """Plan-invariant Column fragments, memoized per key set — rebuilding

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from colymer_acquirers_spark import fragments
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +86,7 @@ def merge_frontier(df: DataFrame) -> DataFrame:
     return df.groupBy("canonical_url").agg(agg).select("canonical_url", *sel)
 
 
+@fragments.register
 @lru_cache(maxsize=1)
 def _merge_fragments():
     """Plan-invariant Column fragments (reused across rounds — py4j

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from colymer_acquirers_spark import fragments
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -31,21 +33,25 @@ def dot(a: Column, b: Column) -> Column:
 # assumption as plans/round.py's fragment caches.
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _vec_lit(values: tuple) -> Column:
     return F.array(*[F.lit(float(x)) for x in values])
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _planes_lit(planes_key: tuple) -> tuple:
     return tuple(_vec_lit(p) for p in planes_key)
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _cents_lit(cents_key: tuple) -> Column:
     return F.array(*[_vec_lit(c) for c in cents_key])
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _cosine_sim_col(qv_key: tuple, vec_col: str) -> Column:
     v = F.col(vec_col).cast("array<double>")
@@ -53,6 +59,7 @@ def _cosine_sim_col(qv_key: tuple, vec_col: str) -> Column:
     return dot(v, q) / (F.sqrt(dot(v, v)) * F.sqrt(dot(q, q)))
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _bucket_key_col(dim: int, n_planes: int, seed: int, vec_col: str) -> Column:
     planes = _hyperplanes(dim, n_planes, seed)
@@ -320,6 +327,7 @@ def ivf_assign(
     return df.withColumn(out_col, best)
 
 
+@fragments.register
 @lru_cache(maxsize=64)
 def _ivf_best_col(cents_key: tuple, vec_col: str) -> Column:
     v = F.col(vec_col).cast("array<double>")

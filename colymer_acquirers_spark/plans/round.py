@@ -47,6 +47,7 @@ def _trace(label: str, t0: float) -> float:
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from colymer_acquirers_spark import fragments
 from colymer_acquirers_spark.functions.canonical import canonicalize_url, host_of
 from colymer_acquirers_spark.functions.envelope_expr import (
     envelope_expr,
@@ -67,6 +68,7 @@ from colymer_acquirers_spark.sources.tables import write_table
 SORT_KEYS = ["priority", "depth", "canonical_url"]
 
 
+@fragments.register
 @functools.lru_cache(maxsize=4)
 def _round_cols(parse_impl: str) -> dict:
     """Plan-invariant Column fragments of a crawl round, built ONCE per

@@ -104,4 +104,11 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # the module-level plan-fragment caches hold py4j expression handles;
+    # drop them if this session runs on a DIFFERENT JVM gateway than the
+    # one they were built against (gateway restart / first build after a
+    # relaunch) — see fragments.py (VERDICT r7 #4)
+    from colymer_acquirers_spark import fragments
+
+    fragments.invalidate_if_new_gateway(spark.sparkContext._gateway)
     return spark
