@@ -714,3 +714,36 @@ def test_flat_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
         # do not leak the checkpoint dir into other tests in this session
         opt_empty = getattr(getattr(sc._jvm, "scala.Option$"), "MODULE$").empty()
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(opt_empty)
+
+
+def test_scoped_width_one_disables_aqe_and_restores(spark):
+    """r8: a width-1 loop scope (tiny derived width — the whole iteration
+    fits one partition) must also scope AQE OFF (its per-stage
+    re-optimization costs driver round trips per CC iteration with
+    nothing to coalesce or skew-split at one partition), while a
+    width > 1 scope leaves AQE untouched (cluster-scale skew handling).
+    Both confs must restore to the pre-scope originals on OUTERMOST
+    exit, including nested/refcounted scopes."""
+    from colymer_acquirers_spark.operators.ckpt import scoped_shuffle_width
+
+    wkey, akey = "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled"
+    orig_w, orig_a = spark.conf.get(wkey), spark.conf.get(akey)
+    assert orig_a == "true"  # session default; the scope must restore it
+
+    with scoped_shuffle_width(spark, 1):
+        assert spark.conf.get(wkey) == "1"
+        assert spark.conf.get(akey) == "false"
+        # nested scope (the concurrent two-algorithm overlap shape):
+        # AQE stays off, and the inner exit must NOT restore early
+        with scoped_shuffle_width(spark, 1):
+            assert spark.conf.get(akey) == "false"
+        assert spark.conf.get(akey) == "false"
+        assert spark.conf.get(wkey) == "1"
+    assert spark.conf.get(wkey) == orig_w
+    assert spark.conf.get(akey) == orig_a
+
+    with scoped_shuffle_width(spark, 4):
+        assert spark.conf.get(wkey) == "4"
+        assert spark.conf.get(akey) == orig_a  # width > 1: AQE untouched
+    assert spark.conf.get(wkey) == orig_w
+    assert spark.conf.get(akey) == orig_a
