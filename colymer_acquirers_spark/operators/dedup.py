@@ -55,7 +55,11 @@ def tokenize(df: DataFrame, text_col: str, out: str = "word") -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    word_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Word-level MinHash: sig_j = min over words of md5int(word||'#'||j).
 
@@ -67,11 +71,24 @@ def minhash_signatures(
     run once per *distinct* word instead of once per occurrence (r8:
     measured 2.3x fewer hashed rows on the documents fixture; natural
     text repeats words at every scale).
+
+    ``word_sets`` (optional): a pre-built ``(id_col, __ws)`` frame whose
+    ``__ws`` is exactly ``array_distinct(split(text_col, ' '))`` —
+    callers that ALSO need the distinct word sets (the verify step joins
+    them back per candidate pair) pass their persisted frame here so one
+    tokenize+distinct pass over the corpus serves both consumers instead
+    of two full text scans (r8 session 3; guide §2.3/§5). Values are
+    identical by construction.
     """
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
-    )
+    if word_sets is not None:
+        words = word_sets.select(
+            F.col(id_col), F.explode(F.col("__ws")).alias("w")
+        )
+    else:
+        words = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+        )
     aggs = [
         F.min(_md5_long(F.concat(F.col("w"), F.lit(f"#{j}")))).alias(f"sig{j}")
         for j in range(n_hashes)
@@ -88,6 +105,7 @@ def minhash_lsh_pairs(
     bucket_cap: int | None = None,
     hot_bucket_warn: int | None = 10_000,
     persisted: list | None = None,
+    word_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -126,7 +144,7 @@ def minhash_lsh_pairs(
     cached intermediate outlive one invocation (queries._drop_live_caches).
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, word_sets=word_sets)
     # band key stays in the md5 family (concat the band's sig values, then
     # _md5_long) rather than xxhash64: the DuckDB oracle replicates the
     # exact same computation, so engine and oracle agree bit-for-bit even
@@ -730,19 +748,25 @@ def minhash_near_dups_verified(
     """
     from pyspark.storagelevel import StorageLevel
 
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, n_hashes, bands, persisted=persisted
-    )
-    # each candidate row buys an array_intersect over full word sets —
-    # keep the verify wide
-    cand = pin_shuffle_width(cand, "id_a")
-    # one scan + one array_distinct pass, shared by both attach joins (r8)
+    # ONE tokenize+array_distinct pass over the corpus serves BOTH the
+    # signature lineage (via word_sets=) and the per-pair attach joins
+    # below (r8 session 3) — before, the LSH stage and the verify stage
+    # each ran their own full text scan + split + distinct. The cache
+    # materializes inside the LSH stage's banded-checkpoint job; the
+    # attach joins then read it instead of re-scanning the corpus.
     words = df.select(
         F.col(id_col),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("__ws"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if persisted is not None:
         persisted.append(words)
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, bands, persisted=persisted,
+        word_sets=words,
+    )
+    # each candidate row buys an array_intersect over full word sets —
+    # keep the verify wide
+    cand = pin_shuffle_width(cand, "id_a")
     wa = words.select(
         F.col(id_col).alias("id_a"),
         F.col("__ws").alias("__wa"),

@@ -79,6 +79,24 @@ def test_minhash_identical_docs_share_signature(spark, docs):
     assert shared >= 4
 
 
+def test_minhash_signatures_word_sets_path_identical(docs):
+    """r8 session 3: minhash_near_dups_verified shares ONE
+    tokenize+array_distinct pass between the signature lineage and the
+    verify's attach joins (word_sets=). The shared-frame path must be
+    bit-identical to the direct path — it is the same expression tree,
+    materialized once."""
+    words = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("__ws"),
+    )
+    direct = {r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
+              for r in minhash_signatures(docs, "doc_id", "text", 8).collect()}
+    shared = {r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8))
+              for r in minhash_signatures(
+                  docs, "doc_id", "text", 8, word_sets=words).collect()}
+    assert direct == shared
+
+
 def test_minhash_lsh_finds_dups(docs):
     # 8 bands × 2 rows: P(collide) ≈ 1-(1-j²)⁸ ≈ 0.9995 at j ≈ 0.78
     pairs = {(r["id_a"], r["id_b"]) for r in
